@@ -1,0 +1,130 @@
+"""Benchmark entry point — prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric (driver BASELINE.json): point clouds/sec/chip at 64k points —
+eval-mode RandLA-Net forward (K=32, decimation=4, tiled on-device KNN) on the
+default JAX device (the TPU chip under the driver). Extras report the p50
+single-frame predict latency at the reference app config (2500 sampled
+points, full-cloud NNI upsample — the <50 ms north-star) and the 8-frame
+batched-inference throughput.
+
+``vs_baseline`` compares against the measured CPU PyTorch reference
+(benchmarks/baseline_cpu.json, produced by
+benchmarks/measure_reference_baseline.py); absent a measurement it reports
+1.0 and flags it in extras.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+
+
+def _median_time(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from recognizer3d_tpu import Model, RandLANetSettings
+
+    device = jax.devices()[0]
+    rng = np.random.RandomState(0)
+
+    # ------------------------------------------------------------------
+    # primary: clouds/sec/chip at 64k points (forward pass)
+    # ------------------------------------------------------------------
+    settings64 = RandLANetSettings(
+        n_classes=2, n_features=0, knn="naive", n_points=65536,
+        n_neighbors=32, decimation=4,
+    )
+    model64 = Model(settings64, seed=0)
+    x64 = jnp.asarray(rng.randn(1, 65536, 3).astype(np.float32) * 0.2)
+    perm64 = jnp.asarray(rng.permutation(65536).astype(np.int32))
+
+    def fwd64():
+        model64._forward_jit(model64.variables, x64, perm64).block_until_ready()
+
+    t64 = _median_time(fwd64, iters=5, warmup=2)
+    clouds_per_sec = 1.0 / t64
+
+    # ------------------------------------------------------------------
+    # extras: app-config single-frame predict (mock cloud) + 8-frame batch
+    # ------------------------------------------------------------------
+    settings = RandLANetSettings(
+        n_classes=2, n_features=0, knn="naive", n_points=2500,
+        n_neighbors=32, decimation=4,
+    )
+    model = Model(settings, seed=0)
+    mock_dir = Path("/root/reference/data/mock")
+    if mock_dir.exists():
+        cloud = np.load(sorted(mock_dir.glob("*_data.npy"))[0])
+    else:
+        cloud = rng.randn(150000, 3).astype(np.float32) * 0.2
+    predict_p50 = _median_time(lambda: model.predict(cloud), iters=10, warmup=3)
+
+    xb = jnp.asarray(rng.randn(8, 2500, 3).astype(np.float32) * 0.2)
+    permb = jnp.asarray(rng.permutation(2500).astype(np.int32))
+
+    def fwd_batch():
+        model._forward_softmax_jit(model.variables, xb, permb).block_until_ready()
+
+    t_batch = _median_time(fwd_batch, iters=10, warmup=2)
+    batch8_clouds_per_sec = 8.0 / t_batch
+
+    # ------------------------------------------------------------------
+    # baseline comparison
+    # ------------------------------------------------------------------
+    baseline_path = REPO / "benchmarks" / "baseline_cpu.json"
+    vs_baseline = 1.0
+    baseline_available = False
+    baseline = {}
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())
+        ref_cps = baseline.get("clouds_per_sec_64k")
+        if ref_cps:
+            vs_baseline = clouds_per_sec / ref_cps
+            baseline_available = True
+
+    extras = {
+        "device": str(device),
+        "forward_64k_ms": t64 * 1000,
+        "predict_p50_ms_appconfig": predict_p50 * 1000,
+        "batch8_clouds_per_sec_appconfig": batch8_clouds_per_sec,
+        "baseline_available": baseline_available,
+    }
+    if baseline_available:
+        ref_p50 = baseline.get("predict_p50_ms_appconfig")
+        if ref_p50:
+            extras["predict_speedup_vs_cpu_torch"] = ref_p50 / (
+                predict_p50 * 1000
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "point clouds/sec/chip @ 64k pts",
+                "value": round(clouds_per_sec, 3),
+                "unit": "clouds/s",
+                "vs_baseline": round(vs_baseline, 3),
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""On-disk dataset layer.
+
+Full format + behaviour parity with the reference's app-level data layer
+(``/root/reference/dataset.py``):
+
+- one sample = ``<timestamp>_data.npy`` (float32 (N, 3) xyz) + optional
+  ``<timestamp>_annotation.npy`` (uint8 (N,) boolean mask); timestamp format
+  ``YYYY_MM_DD__HH_MM_SS_<micro>000`` (dataset.py:102-115);
+- int indexing skips samples lacking annotations when ``only_annotated``
+  (dataset.py:38-54); datetime indexing resolves via the timestamp string;
+- features are always an empty (N, 0) array (dataset.py:79);
+- deterministic 80/20 split with numpy seed 3 (dataset.py:117-126);
+- ``broaden_annotation`` dilates single-point annotations into radius-0.01 m
+  balls (dataset.py:8-18) — here vectorised to one (A, N) distance matrix
+  instead of the reference's per-point python loop.
+"""
+
+from datetime import datetime
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+
+def broaden_annotation(
+    point_cloud: np.ndarray, annotation: np.ndarray, radius: float = 0.01
+) -> np.ndarray:
+    """Mark every point within ``radius`` of any annotated point as positive.
+
+    Vectorised equivalent of the reference's O(A·N) loop (dataset.py:8-18).
+    Returns zeros when no point is annotated (the reference would fail on an
+    empty reduce there).
+    """
+    annotation_cloud = point_cloud[annotation.astype(bool)]
+    if annotation_cloud.shape[0] == 0:
+        return np.zeros((point_cloud.shape[0],), dtype=np.uint8)
+    # (A, N) pairwise distances, computed blockwise to bound memory for big N
+    out = np.zeros((point_cloud.shape[0],), dtype=bool)
+    block = 1 << 20  # points per block
+    for start in range(0, point_cloud.shape[0], block):
+        chunk = point_cloud[start : start + block]  # (n, 3)
+        d2 = (
+            np.sum(annotation_cloud**2, axis=1)[:, None]
+            + np.sum(chunk**2, axis=1)[None, :]
+            - 2.0 * annotation_cloud @ chunk.T
+        )
+        out[start : start + block] = np.any(d2 < radius * radius, axis=0)
+    return out.astype(np.uint8)
+
+
+class Dataset(Sequence):
+    """Lazy sequence over a directory of ``*_data.npy`` / ``*_annotation.npy``
+    pairs (dataset.py:21-126)."""
+
+    def __init__(
+        self,
+        root_path: Path,
+        only_annotated: bool = True,
+        selection: Optional[List[int]] = None,
+        broaden_annotations: bool = False,
+    ):
+        self._root_path = Path(root_path)
+        self._only_annotated = only_annotated
+        self._selection = selection
+        self._broaden_annotations = broaden_annotations
+
+    def __len__(self):
+        if self._selection is not None:
+            return len(self._selection)
+        if self._only_annotated:
+            return len(
+                [a for a in self._root_path.glob("*_annotation*") if a.is_file()]
+            )
+        return len([a for a in self._root_path.glob("*_data*") if a.is_file()])
+
+    def _get_item_index(
+        self, index: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        data = sorted(self._root_path.glob("*_data*"))
+        while True:
+            if self._selection is not None:
+                selected_sample_path = data[self._selection[index]]
+            else:
+                selected_sample_path = data[index]
+            selected_sample = selected_sample_path.name.split("_data")[0]
+            try:
+                return self._get_item_str(selected_sample)
+            except Exception as e:
+                # skip unannotated samples, like the reference (dataset.py:49-54)
+                if str(e) != "No annotation":
+                    raise
+                index += 1
+
+    def _get_item_datetime(
+        self, timestamp: datetime
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self._get_item_str(Dataset.timestamp(timestamp))
+
+    def _get_item_str(
+        self, index: str
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        item_path = self._root_path / (index + "_data.npy")
+        if not item_path.exists():
+            raise Exception(f"index {index} doesn't exist in dataset.")
+        point_cloud = np.load(str(item_path))
+        annotation_path = self._root_path / (index + "_annotation.npy")
+        if annotation_path.exists():
+            annotation_cloud = np.load(str(annotation_path))
+            if self._broaden_annotations:
+                annotation_cloud = broaden_annotation(point_cloud, annotation_cloud)
+        else:
+            if self._only_annotated:
+                raise Exception("No annotation")
+            annotation_cloud = np.zeros([point_cloud.shape[0]], dtype=np.uint8)
+        return (
+            point_cloud,
+            np.zeros((point_cloud.shape[0], 0)),
+            annotation_cloud,
+        )
+
+    def __getitem__(
+        self, index: Union[int, datetime]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if isinstance(index, datetime):
+            return self._get_item_datetime(index)
+        elif isinstance(index, int):
+            return self._get_item_index(index)
+        else:
+            raise Exception("invalid key!")
+
+    def __setitem__(self, index: datetime, value: np.ndarray) -> None:
+        root = self._root_path / Dataset.timestamp(index)
+        self._root_path.mkdir(parents=True, exist_ok=True)
+        np.save(str(root) + "_data", value)
+
+    def set_annotation(self, index: datetime, value: np.ndarray) -> None:
+        root = self._root_path / Dataset.timestamp(index)
+        self._root_path.mkdir(parents=True, exist_ok=True)
+        np.save(str(root) + "_annotation", value)
+
+    @classmethod
+    def timestamp(cls, time: Optional[datetime]) -> str:
+        """Timestamp string format (dataset.py:102-115)."""
+        input_datetime: datetime = datetime.now() if time is None else time
+        return "%04.i_%02.i_%02.i__%02.i_%02.i_%02.i_%06.i000" % (
+            input_datetime.year,
+            input_datetime.month,
+            input_datetime.day,
+            input_datetime.hour,
+            input_datetime.minute,
+            input_datetime.second,
+            input_datetime.microsecond,
+        )
+
+    def split(self, percentage: float = 0.8) -> "Tuple[Dataset, Dataset]":
+        """Deterministic shuffled split with seed 3 (dataset.py:117-126)."""
+        indices = list(range(len(self)))
+        np.random.seed(3)
+        np.random.shuffle(indices)
+        split_index = int(percentage * len(indices))
+        return (
+            Dataset(
+                self._root_path,
+                self._only_annotated,
+                selection=indices[:split_index],
+                broaden_annotations=self._broaden_annotations,
+            ),
+            Dataset(
+                self._root_path,
+                self._only_annotated,
+                selection=indices[split_index:],
+                broaden_annotations=self._broaden_annotations,
+            ),
+        )
+
+
+class DatasetMerged(Sequence):
+    """Concatenation of multiple Datasets (dataset.py:129-160)."""
+
+    def __init__(
+        self, datasets: List[Dataset], selection: Optional[List[int]] = None
+    ):
+        self._datasets = datasets
+        self._selection = selection
+
+    def __len__(self):
+        if self._selection is not None:
+            return len(self._selection)
+        return sum(len(s) for s in self._datasets)
+
+    def __getitem__(self, item: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._selection is not None:
+            item = self._selection[item]
+        for dataset in self._datasets:
+            if item >= len(dataset):
+                item -= len(dataset)
+            else:
+                return dataset[item]
+        raise IndexError(item)
+
+    def split(
+        self, percentage: float = 0.8
+    ) -> "Tuple[DatasetMerged, DatasetMerged]":
+        indices = list(range(len(self)))
+        np.random.seed(3)
+        np.random.shuffle(indices)
+        split_index = int(percentage * len(indices))
+        return (
+            DatasetMerged(self._datasets, selection=indices[:split_index]),
+            DatasetMerged(self._datasets, selection=indices[split_index:]),
+        )

@@ -1,0 +1,224 @@
+"""K-nearest-neighbour search — the framework's hottest op.
+
+The reference runs 5+ KNN searches per forward pass (4 LFA self-KNNs + the
+decoder 1-NN upsamplings, ``/root/reference/randlanet/utils/modules.py:298-325``
+and ``:543-611``) and routes them to either a GPU matmul+topk
+(``knn.py:7-55``), a CPU FAISS IVF index (``knn.py:58-117``) or a dormant C++
+KD-tree. On TPU we keep everything device-resident:
+
+- :func:`knn_naive`        — full pairwise-distance matmul + ``lax.top_k``;
+                             best for N below ~20k (mirrors the reference's
+                             regime guidance, model.py:160-184).
+- :func:`knn_tiled`        — ``lax.scan`` over support tiles with a running
+                             top-k; bounded memory for large N, the
+                             non-Pallas large-N path.
+- :func:`knn_approximate`  — TPU-accelerated ``jax.lax.approx_min_k`` over
+                             query blocks; replaces the reference's per-layer
+                             CPU FAISS round-trip with an on-chip kernel.
+- ``knn_pallas``           — fused Pallas distance+top-k kernel
+                             (ops/knn_pallas.py) that never materialises the
+                             distance matrix.
+- ``knn_kdtree``           — our own C++ exact KD-tree via host callback
+                             (ops/knn_cpp.py), the working equivalent of the
+                             reference's dormant ``knn_tpk`` extension.
+
+All functions share one contract::
+
+    indices (B, M, k) int32, squared_distances (B, M, k) float32
+      = knn_fn(support (B, N, 3), query (B, M, 3), k)
+
+matching the reference's ``(neighbors, distances_sq)`` return
+(knn.py:7-24). Squared distances are clamped to >= 0 (knn.py:54).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pairwise_sq_dists(query: jax.Array, support: jax.Array) -> jax.Array:
+    """(B, M, N) squared L2 distances via ||q||² + ||s||² − 2 q·sᵀ.
+
+    The expansion runs the O(M·N) work as one batched matmul on the MXU
+    (same identity as the reference's knn.py:46-50)."""
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # (B, M, 1)
+    s2 = jnp.sum(support * support, axis=-1, keepdims=True)  # (B, N, 1)
+    qs = lax.dot_general(
+        query,
+        support,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, M, N)
+    return q2 + jnp.swapaxes(s2, -1, -2) - 2.0 * qs
+
+
+def knn_naive(
+    support: jax.Array, query: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact KNN with the full distance matrix materialised.
+
+    Fine for M·N up to a few hundred million on one chip; use
+    :func:`knn_tiled` / ``knn_pallas`` beyond that.
+    """
+    d2 = _pairwise_sq_dists(query, support)
+    neg_top, idx = lax.top_k(-d2, k)  # smallest distances
+    return idx.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
+
+
+def knn_tiled(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    support_tile: int = 4096,
+    query_block: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact KNN with bounded memory: scan over support tiles keeping a
+    running top-k, optionally mapped over query blocks.
+
+    Peak live memory is O(query_block · (support_tile + k)) instead of
+    O(M · N) — the TPU analogue of the reference's query partitioning
+    (knn.py:26-43), but partitioned over the *support* so arbitrarily large
+    point clouds stream through VMEM-sized tiles.
+    """
+    B, N, _ = support.shape
+    M = query.shape[1]
+    if N <= support_tile:
+        return knn_naive(support, query, k)
+
+    n_tiles = -(-N // support_tile)
+    pad = n_tiles * support_tile - N
+    if pad:
+        # pad with far-away points; k <= N guarantees they never win
+        far = jnp.full((B, pad, 3), 1e9, dtype=support.dtype)
+        support = jnp.concatenate([support, far], axis=1)
+    support_tiles = support.reshape(B, n_tiles, support_tile, 3)
+
+    def run_block(query_blk: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        m = query_blk.shape[1]
+
+        def step(carry, inputs):
+            best_d, best_i = carry  # (B, m, k)
+            tile, tile_idx = inputs  # (B, support_tile, 3), scalar
+            d2 = _pairwise_sq_dists(query_blk, tile)  # (B, m, T)
+            idx = tile_idx * support_tile + jnp.arange(support_tile, dtype=jnp.int32)
+            idx = jnp.broadcast_to(idx, (B, m, support_tile))
+            cand_d = jnp.concatenate([best_d, d2], axis=-1)
+            cand_i = jnp.concatenate([best_i, idx], axis=-1)
+            neg_top, sel = lax.top_k(-cand_d, k)
+            new_d = -neg_top
+            new_i = jnp.take_along_axis(cand_i, sel, axis=-1)
+            return (new_d, new_i), None
+
+        init = (
+            jnp.full((B, m, k), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((B, m, k), dtype=jnp.int32),
+        )
+        tiles = jnp.moveaxis(support_tiles, 1, 0)  # (n_tiles, B, T, 3)
+        (best_d, best_i), _ = lax.scan(
+            step, init, (tiles, jnp.arange(n_tiles, dtype=jnp.int32))
+        )
+        return best_i, jnp.maximum(best_d, 0.0)
+
+    if query_block is None or M <= query_block:
+        return run_block(query)
+
+    nq = -(-M // query_block)
+    qpad = nq * query_block - M
+    if qpad:
+        query = jnp.concatenate(
+            [query, jnp.zeros((B, qpad, 3), dtype=query.dtype)], axis=1
+        )
+    blocks = query.reshape(B, nq, query_block, 3)
+    idx, d2 = lax.map(run_block, jnp.moveaxis(blocks, 1, 0))
+    idx = jnp.moveaxis(idx, 0, 1).reshape(B, nq * query_block, k)[:, :M]
+    d2 = jnp.moveaxis(d2, 0, 1).reshape(B, nq * query_block, k)[:, :M]
+    return idx, d2
+
+
+def knn_approximate(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    recall_target: float = 0.95,
+    query_block: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate KNN via XLA's TPU-accelerated ``approx_min_k``.
+
+    This is the device-resident replacement for the reference's CPU FAISS
+    IVF search (knn.py:58-117): instead of shipping coordinates to the host,
+    building an IVF index and copying results back each layer
+    (modules.py:139-144), the TPU's hardware-assisted partial-reduction
+    top-k runs directly on the distance tiles.
+    """
+    B, N, _ = support.shape
+    M = query.shape[1]
+
+    def run_block(query_blk):
+        d2 = _pairwise_sq_dists(query_blk, support)
+        vals, idx = lax.approx_min_k(d2, k, recall_target=recall_target)
+        return idx.astype(jnp.int32), jnp.maximum(vals, 0.0)
+
+    if M <= query_block:
+        return run_block(query)
+    nq = -(-M // query_block)
+    qpad = nq * query_block - M
+    if qpad:
+        query = jnp.concatenate(
+            [query, jnp.zeros((B, qpad, 3), dtype=query.dtype)], axis=1
+        )
+    blocks = jnp.moveaxis(query.reshape(B, nq, query_block, 3), 1, 0)
+    idx, d2 = lax.map(run_block, blocks)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(B, nq * query_block, k)[:, :M]
+    d2 = jnp.moveaxis(d2, 0, 1).reshape(B, nq * query_block, k)[:, :M]
+    return idx, d2
+
+
+# regime threshold mirroring the reference's guidance (model.py:160-184)
+_NAIVE_MAX_MN = 64_000_000  # M*N elements of the full distance matrix
+
+
+def knn(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    approach: str = "naive",
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatching KNN front-end (the TPU analogue of the reference's ``KNN``
+    block, modules.py:107-150). Returns (indices int32, squared dists f32),
+    both (B, M, k)."""
+    if approach == "naive":
+        mn = support.shape[1] * query.shape[1]
+        if mn > _NAIVE_MAX_MN:
+            # keep "naive" semantics (exact) but bound memory, instead of
+            # OOMing like the reference warns it would (model.py:174-178)
+            return knn_tiled(support, query, k)
+        return knn_naive(support, query, k)
+    elif approach == "approximate":
+        return knn_approximate(support, query, k)
+    elif approach == "pallas":
+        from recognizer3d_tpu.ops.knn_pallas import knn_pallas
+
+        return knn_pallas(support, query, k)
+    elif approach == "kdtree":
+        from recognizer3d_tpu.ops.knn_cpp import knn_kdtree
+
+        return knn_kdtree(support, query, k)
+    else:
+        raise ValueError(f"KNN approach {approach} not understood!")
+
+
+def gather_neighbors(features: jax.Array, neighbors: jax.Array) -> jax.Array:
+    """Gather per-neighbour features.
+
+    :param features: (B, N, C) point features.
+    :param neighbors: (B, M, K) int indices into the N axis.
+    :return: (B, M, K, C) gathered features.
+
+    This is the XLA-native form of the reference's unsqueeze/expand/gather
+    chains (modules.py:170-186, :209-221) — a single batched gather that XLA
+    fuses with the surrounding concat/MLP.
+    """
+    return jax.vmap(lambda f, idx: f[idx])(features, neighbors)

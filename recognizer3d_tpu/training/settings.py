@@ -1,0 +1,27 @@
+"""Training configuration — parity with the reference's TrainingSettings
+dataclass (``/root/reference/randlanet/utils/trainer.py:23-39``)."""
+
+from dataclasses import dataclass
+
+
+@dataclass
+class TrainingSettings:
+    #: Number of epochs to train
+    epochs: int = 150
+    #: Size of minibatches used during training
+    batch_size: int = 8
+    #: Base learning rate
+    learning_rate: float = 1e-2
+    #: Exponential decay for learning rate (applied every 10 epochs, like the
+    #: reference's StepLR(step_size=10), trainer.py:81-83)
+    learning_rate_decay: float = 0.9
+    #: Loss function: "cross_entropy" | "focal" | "dice" | "tversky" | "focal_tversky"
+    loss_function: str = "dice"
+    #: Early stopping
+    early_stopping: bool = True
+    #: Patience for early stopping
+    early_stopping_patience: int = 20
+    #: Number of data-parallel devices to shard the batch over (1 = single
+    #: chip; >1 uses a jax.sharding.Mesh over the batch axis — TPU-native
+    #: replacement for the DDP the reference never had, SURVEY.md §2.9)
+    data_parallel_devices: int = 1

@@ -1,0 +1,353 @@
+"""Training engine.
+
+Protocol parity with the reference Trainer
+(``/root/reference/randlanet/utils/trainer.py``):
+
+- Adam (b1=0.9, b2=0.999, eps=1e-8) with the StepLR schedule
+  lr = lr0 · decay^((epoch−1)//10) (trainer.py:77-83);
+- per-epoch: train over all batches → scheduler step → 10-seed validation →
+  early-stopping check on ``val_mIoU`` → console + TensorBoard logging →
+  callbacks (trainer.py:103-158);
+- evaluation averages over n_evaluations=10 runs with fixed seeds 100·i,
+  saving/restoring the global numpy RNG state (trainer.py:301-312) — the
+  seeds drive the per-forward point permutation, exactly the reference's
+  stochasticity;
+- optional postprocess evaluation upsamples predictions onto the raw cloud
+  (batch_size 1) and scores against full-resolution labels
+  (trainer.py:305-343).
+
+TPU-native execution: the whole optimisation step — forward (train-mode BN +
+dropout), loss, backward, Adam update, batch metrics — is ONE donated jitted
+program; the host only feeds numpy batches and drains metric scalars once
+per epoch. With ``TrainingSettings.data_parallel_devices > 1`` the same step
+is sharded batch-wise over a ``jax.sharding.Mesh`` (gradients/batch-stats
+all-reduce via XLA collectives — see recognizer3d_tpu/parallel).
+"""
+
+import logging
+from collections import OrderedDict
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recognizer3d_tpu.training.early_stopper import EarlyStopper
+from recognizer3d_tpu.training.losses import get_loss
+from recognizer3d_tpu.training.metrics import (
+    MetricCollector,
+    MetricCollectorBag,
+    accuracy_array,
+    iou_array,
+)
+from recognizer3d_tpu.training.settings import TrainingSettings
+from recognizer3d_tpu.utils.tb import make_summary_writer
+
+logger = logging.getLogger("trainer")
+logger.setLevel(logging.DEBUG)
+
+
+def _metrics_arrays(logits, labels):
+    oa, pca = accuracy_array(logits, labels)
+    miou, pciou = iou_array(logits, labels)
+    return oa, pca, miou, pciou
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_dataloader,
+        validation_dataloader,
+        log_dir: Optional[Path] = None,
+        class_names: Optional[List[str]] = None,
+    ):
+        """Class managing the training process (trainer.py:42-60).
+
+        :param train_dataloader: recognizer3d_tpu DataLoader for training data.
+        :param validation_dataloader: DataLoader for validation data.
+        :param log_dir: Optional directory path to store logging data.
+        :param class_names: Optional list with class names (pretty logging).
+        """
+        self._train_dataloader = train_dataloader
+        self._validation_dataloader = validation_dataloader
+        self._log_dir = log_dir
+        self._class_names = class_names
+
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        model,
+        settings: TrainingSettings,
+        callbacks: List[Callable[[int, Dict[str, float]], None]] = [],
+    ):
+        """Train the given facade Model in place; returns it with the best
+        (val_mIoU) weights loaded (trainer.py:62-168)."""
+        module = model.module
+        criterion = get_loss(settings.loss_function)
+        variables = model.variables
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        tx = optax.scale_by_adam()  # torch-Adam semantics; lr applied manually
+        opt_state = tx.init(params)
+
+        mesh = None
+        if settings.data_parallel_devices > 1:
+            from recognizer3d_tpu.parallel.mesh import data_parallel_mesh
+
+            mesh = data_parallel_mesh(settings.data_parallel_devices)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(
+            params, batch_stats, opt_state, inputs, labels, permutation,
+            dropout_key, lr,
+        ):
+            def loss_fn(p):
+                logits, updates = module.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    inputs,
+                    permutation,
+                    train=True,
+                    rngs={"dropout": dropout_key},
+                    mutable=["batch_stats"],
+                )
+                loss = criterion(logits, labels)
+                return loss, (logits, updates["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state)
+            new_params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -lr * u, updates)
+            )
+            return (new_params, new_bs, new_opt, loss) + _metrics_arrays(
+                logits, labels
+            )
+
+        patience = (
+            settings.early_stopping_patience
+            if settings.early_stopping
+            else settings.epochs
+        )
+        early_stopper = EarlyStopper(patience=patience, metric="val_mIoU")
+
+        n_train = len(self._train_dataloader.dataset)
+        n_val = len(self._validation_dataloader.dataset)
+        logger.info(
+            f"Training on {n_train} training samples and {n_val} "
+            "validation samples."
+        )
+        writer = None
+        if self._log_dir is not None:
+            writer = make_summary_writer(str(self._log_dir))
+
+        dropout_root = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        step_counter = 0
+        shard_batch = (lambda x: x)
+        if mesh is not None:
+            from recognizer3d_tpu.parallel.mesh import shard_batch_fn
+
+            shard_batch = shard_batch_fn(mesh)
+
+        for epoch in range(1, settings.epochs + 1):
+            # StepLR: lr0 · decay^((epoch−1)//10) — trainer.py:81-83
+            lr = settings.learning_rate * (
+                settings.learning_rate_decay ** ((epoch - 1) // 10)
+            )
+            train_metrics = MetricCollector(self._class_names)
+            pending = []
+            for inputs, labels, _ in self._train_dataloader:
+                n_pts = inputs.shape[1]
+                permutation = np.random.permutation(n_pts).astype(np.int32)
+                dropout_key = jax.random.fold_in(dropout_root, step_counter)
+                step_counter += 1
+                (
+                    params, batch_stats, opt_state, loss, oa, pca, miou, pciou,
+                ) = train_step(
+                    params,
+                    batch_stats,
+                    opt_state,
+                    shard_batch(inputs),
+                    shard_batch(labels),
+                    permutation,
+                    dropout_key,
+                    jnp.float32(lr),
+                )
+                pending.append((loss, oa, pca, miou, pciou))
+            # one host sync per epoch
+            for loss, oa, pca, miou, pciou in jax.device_get(pending):
+                train_metrics.push(loss, oa, pca, miou, pciou)
+
+            # evaluate on validation set (10 seeded runs, trainer.py:135-140)
+            model.variables = {"params": params, "batch_stats": batch_stats}
+            validation_metrics = Trainer.evaluate(
+                model,
+                self._validation_dataloader,
+                class_names=self._class_names,
+                loss_function=settings.loss_function,
+            )
+            metrics = train_metrics.as_dict()
+            metrics.update(validation_metrics.as_dict("val"))
+            continue_training = early_stopper.check(metrics, model.variables)
+            self._log(
+                epoch,
+                settings.epochs,
+                lr,
+                train_metrics.as_dict(),
+                validation_metrics.as_dict(include_stdev=True),
+                writer,
+            )
+            for callback in callbacks:
+                callback(epoch, metrics)
+            if not continue_training:
+                break
+
+        if writer is not None:
+            writer.close()
+        best = early_stopper.best_variables
+        if best is None:
+            logger.warning("Model did not improve during training!")
+        else:
+            model.variables = jax.device_put(best)
+        return model
+
+    # ------------------------------------------------------------------
+
+    def _log(
+        self,
+        epoch: int,
+        total_epochs: int,
+        lr: float,
+        train_metrics: OrderedDict,
+        validation_metrics: OrderedDict,
+        writer,
+    ) -> None:
+        """Console + TensorBoard logging (trainer.py:170-242)."""
+        log_line = f"Epoch {epoch:3d}/{total_epochs:3d} - "
+        for key in ["loss"]:
+            log_line += "%s: %.4f - val_%s: %.4f (s: %.4f) - " % (
+                key,
+                train_metrics[key],
+                key,
+                validation_metrics[key][0],
+                validation_metrics[key][1],
+            )
+        for key in ["mAcc", "mIoU"]:
+            log_line += "%s: %.2f%% - val_%s: %.2f%% (s: %.2f%%) - " % (
+                key,
+                train_metrics[key] * 100,
+                key,
+                validation_metrics[key][0] * 100,
+                validation_metrics[key][1] * 100,
+            )
+        logger.info(log_line[:-2])
+        all_metrics = {
+            "Training": train_metrics,
+            "Validation": validation_metrics,
+        }
+        for mode, metrics in all_metrics.items():
+            log_line = f"{'':15s} {mode + ' IoU:':16s}"
+            keys = [k for k in metrics.keys() if k.endswith(" IoU")]
+            for key in keys:
+                log_line += key.split(" IoU")[0]
+                metric = metrics[key]
+                if isinstance(metric, tuple):
+                    log_line += ": %5.2f%% (s: %5.2f%%)" % (
+                        metric[0] * 100,
+                        metric[1] * 100,
+                    )
+                elif isinstance(metric, float):
+                    log_line += ": %5.2f%% %11s" % (metric * 100, "")
+                if key != keys[-1]:
+                    log_line += " - "
+            logger.info(log_line)
+        if writer is not None:
+            writer.add_scalar("Learning rate", lr, epoch)
+            tb_data: Dict[str, Dict] = {
+                "Train": train_metrics,
+                "Validation": validation_metrics,
+            }
+            for mode, metric_set in tb_data.items():
+                for key, metric in metric_set.items():
+                    writer.add_scalar(
+                        f"{key}/{mode}",
+                        metric[0] if isinstance(metric, tuple) else metric,
+                        epoch,
+                    )
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def evaluate(
+        model,
+        data_loader,
+        class_names: Optional[List[str]] = None,
+        loss_function: str = "dice",
+        postprocess: bool = False,
+        n_evaluations: int = 10,
+    ) -> MetricCollectorBag:
+        """Seeded repeated evaluation (trainer.py:271-367)."""
+        criterion = get_loss(loss_function)
+        module = model.module
+
+        cache = getattr(model, "_eval_step_cache", None)
+        if cache is None:
+            cache = {}
+            model._eval_step_cache = cache
+        eval_step = cache.get(loss_function)
+        if eval_step is None:
+
+            @jax.jit
+            def eval_step(variables, inputs, labels, permutation):
+                logits = module.apply(
+                    variables, inputs, permutation, train=False
+                )
+                loss = criterion(logits, labels)
+                return (loss,) + _metrics_arrays(logits, labels) + (logits,)
+
+            cache[loss_function] = eval_step
+
+        if postprocess:
+            assert data_loader.batch_size == 1, (
+                "Batch size 1 required when evaluating with postprocessing!"
+            )
+
+        seeds = [100 * i for i in range(n_evaluations)]
+        rnd_state = np.random.get_state()
+        metric_collectors: List[MetricCollector] = []
+        variables = model.variables
+        for seed in seeds:
+            np.random.seed(seed)
+            evaluation_metrics = MetricCollector()
+            for inputs, labels, indices in data_loader:
+                n_pts = inputs.shape[1]
+                permutation = np.random.permutation(n_pts).astype(np.int32)
+                loss, oa, pca, miou, pciou, logits = eval_step(
+                    variables, inputs, labels, permutation
+                )
+                if postprocess:
+                    # upsample confidences onto the raw cloud and score
+                    # against full-resolution labels (trainer.py:326-349)
+                    raw_inputs, raw_labels, _ = data_loader.dataset.__getitem__(
+                        int(indices[0]), preprocess=False
+                    )
+                    confidences = model.upsample(
+                        logits, inputs[:, :, :3], raw_inputs[None, :, :3]
+                    )
+                    oa, pca = accuracy_array(
+                        confidences[0], jnp.asarray(raw_labels)
+                    )
+                    miou, pciou = iou_array(
+                        confidences[0], jnp.asarray(raw_labels)
+                    )
+                evaluation_metrics.push(
+                    *jax.device_get((loss, oa, pca, miou, pciou))
+                )
+            metric_collectors.append(evaluation_metrics)
+        np.random.set_state(rnd_state)
+        return MetricCollectorBag(metric_collectors, class_names)

@@ -1,0 +1,171 @@
+"""Numerical parity against the PyTorch reference implementation.
+
+Loads the reference's RandLANet (``/root/reference/randlanet/utils/modules.py``)
+with random weights, converts the state_dict through
+``recognizer3d_tpu.models.torch_compat`` and checks that our jitted flax
+forward produces the same logits for the same input + permutation. This is
+the strongest possible guard on block-level semantics (SharedMLP/BN, LocSE,
+attentive pooling, prefix decimation, NNI decoder, head).
+
+Skipped automatically when the reference checkout is absent.
+"""
+
+import json
+import shutil
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    torch = pytest.importorskip("torch")
+    # the reference hard-imports faiss (knn.py:3) and its decoder upsampler
+    # always uses the faiss path (modules.py:123,358); install an exact
+    # numpy-backed stand-in
+    from tests._faiss_stub import install
+
+    install()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import randlanet.utils.modules as ref_mod  # noqa: WPS433
+
+    return ref_mod
+
+
+SMALL = dict(
+    n_classes=3,
+    n_points=512,
+    n_features=0,
+    n_neighbors=8,
+    decimation=4,
+    layer_sizes=[4, 8, 16, 32],
+    knn="naive",
+    upsampling="nni",
+)
+
+
+def _build_pair(ref_modules, seed=0):
+    import torch
+
+    from recognizer3d_tpu.models.randlanet import RandLANet
+    from recognizer3d_tpu.models.settings import RandLANetSettings
+    from recognizer3d_tpu.models.torch_compat import (
+        state_dict_to_numpy,
+        torch_state_dict_to_variables,
+    )
+
+    torch.manual_seed(seed)
+    ref_settings = ref_modules.RandLANetSettings(**SMALL)
+    ref_model = ref_modules.RandLANet(ref_settings, torch.device("cpu")).eval()
+
+    our_settings = RandLANetSettings(**SMALL)
+    variables = torch_state_dict_to_variables(
+        state_dict_to_numpy(ref_model.state_dict()), our_settings
+    )
+    our_model = RandLANet(our_settings)
+    return ref_model, our_model, variables, our_settings
+
+
+class TestForwardParity:
+    def test_logits_match_reference(self, ref_modules):
+        import jax
+        import torch
+
+        ref_model, our_model, variables, _ = _build_pair(ref_modules)
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, SMALL["n_points"], 3).astype(np.float32) * 0.3
+
+        # the reference draws its permutation from the global numpy RNG
+        # inside forward (modules.py:568-573); replicate it exactly
+        np.random.seed(123)
+        permutation = np.random.permutation(SMALL["n_points"]).astype(np.int32)
+
+        np.random.seed(123)
+        with torch.no_grad():
+            ref_logits = ref_model(torch.from_numpy(x)).numpy()
+
+        ours = jax.jit(
+            lambda v, inp, p: our_model.apply(v, inp, p, train=False)
+        )(variables, x, permutation)
+        ours = np.asarray(ours)
+
+        assert ours.shape == ref_logits.shape
+        # float32 accumulation-order noise (XLA vs oneDNN) dominates the
+        # residual; 1e-3 absolute on logits is far below any decision boundary
+        np.testing.assert_allclose(ours, ref_logits, rtol=1e-2, atol=1e-3)
+
+    def test_roundtrip_state_dict(self, ref_modules):
+        """flax -> torch state_dict -> flax keeps every tensor bitwise."""
+        from recognizer3d_tpu.models.torch_compat import (
+            torch_state_dict_to_variables,
+            variables_to_torch_state_dict,
+        )
+        import jax
+
+        ref_model, _, variables, settings = _build_pair(ref_modules, seed=3)
+        sd = variables_to_torch_state_dict(variables, settings)
+        variables2 = torch_state_dict_to_variables(sd, settings)
+
+        flat1 = jax.tree_util.tree_leaves_with_path(variables)
+        flat2 = jax.tree_util.tree_leaves_with_path(variables2)
+        assert len(flat1) == len(flat2)
+        for (p1, v1), (p2, v2) in zip(flat1, flat2):
+            assert p1 == p2
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_reference_archive_loads(self, ref_modules, tmp_path):
+        """A reference-format zip (config JSON + torch state_dict) loads
+        through Model.load and predicts (model.py:76-105 contract)."""
+        import torch
+        from dataclasses import asdict
+
+        from recognizer3d_tpu.models.facade import Model
+
+        ref_model, _, _, settings = _build_pair(ref_modules, seed=5)
+        archive_dir = tmp_path / "archive"
+        archive_dir.mkdir()
+        with (archive_dir / "config").open("w") as f:
+            json.dump(asdict(settings), f)
+        torch.save(ref_model.state_dict(), archive_dir / "model")
+        shutil.make_archive(str(tmp_path / "model_file"), "zip", archive_dir)
+        shutil.move(str(tmp_path / "model_file.zip"), tmp_path / "ref_model")
+
+        model = Model.load(tmp_path / "ref_model")
+        cloud = np.random.randn(4000, 3).astype(np.float32) * 0.2
+        conf = model.predict(cloud)
+        assert conf.shape == (settings.n_classes, 4000)
+        np.testing.assert_allclose(conf.sum(axis=0), 1.0, atol=1e-3)
+
+    def test_archive_load_matches_reference_predictions(self, ref_modules):
+        import jax
+        import torch
+
+        ref_model, our_model, variables, settings = _build_pair(ref_modules, seed=9)
+        # eval-mode logits on a fresh cloud through both stacks with an
+        # identity permutation (isolates weights from RNG)
+        x = np.random.RandomState(1).randn(1, 512, 3).astype(np.float32) * 0.5
+        perm = np.arange(512, dtype=np.int32)
+        np.random.seed(0)
+        id_perm_state = np.random.get_state()
+        # force the reference's internal permutation to identity by monkey-
+        # patching numpy for the call
+        orig = np.random.permutation
+        np.random.permutation = lambda n: np.arange(n)
+        try:
+            with torch.no_grad():
+                ref_logits = ref_model(torch.from_numpy(x)).numpy()
+        finally:
+            np.random.permutation = orig
+        ours = np.asarray(our_model.apply(variables, x, perm, train=False))
+        np.testing.assert_allclose(ours, ref_logits, rtol=1e-2, atol=1e-3)
