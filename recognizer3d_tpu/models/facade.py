@@ -1,0 +1,383 @@
+"""Model facade: save/load/predict/train/evaluate.
+
+API parity with the reference facade (``/root/reference/randlanet/model.py``):
+same method signatures, same serialized archive layout (a zip containing a
+``config`` JSON and a ``model`` weights payload, model.py:107-121), same
+predict pre/post-processing contract (consistent subsample → forward →
+softmax → upsample onto the full cloud, model.py:146-235).
+
+TPU specifics:
+
+- the forward pass, softmax and the full-cloud upsampling are separate jitted
+  programs so the (fixed-shape) network compile is reused across varying live
+  frame sizes; full clouds are padded to 4096-point buckets to bound the
+  number of compilations in the 250 ms live loop;
+- ``load`` transparently accepts BOTH this framework's archives (msgpack
+  weights) and original PyTorch reference archives (torch state_dict),
+  converting the latter via models/torch_compat.py — pretrained reference
+  models run on TPU as-is;
+- the "consistent sampling" indices are a pure function of the cloud size,
+  so they are cached host-side (data/preprocessing.py) and the live loop
+  pays no host RNG cost.
+"""
+
+import json
+import logging
+import os
+import shutil
+import tempfile
+from dataclasses import asdict
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization as flax_serialization
+
+from recognizer3d_tpu.data.augmentation import AugmentationSettings
+from recognizer3d_tpu.data.loader import get_data_loader
+from recognizer3d_tpu.data.preprocessing import consistent_sample_indices
+from recognizer3d_tpu.models.randlanet import RandLANet
+from recognizer3d_tpu.models.settings import RandLANetSettings
+from recognizer3d_tpu.ops.upsample import upsample as upsample_features
+
+_BUCKET = 4096  # full-cloud padding granularity for the postprocess upsample
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class Model:
+    """RandLA-Net model wrapper with weight saving, loading and prediction
+    (reference model.py:21-336)."""
+
+    def __init__(
+        self,
+        settings: RandLANetSettings,
+        weights: Optional[Dict] = None,
+        use_gpu: bool = True,
+        seed: int = 0,
+    ):
+        """
+        :param settings: Model settings defining RandLANet.
+        :param weights: Optional flax variables {"params", "batch_stats"}
+                        to initialize the model with.
+        :param use_gpu: Kept for reference API parity; device placement is
+                        JAX's (the default device — TPU when present).
+        """
+        self.settings = settings
+        self._module = RandLANet(settings)
+        self._use_gpu = use_gpu
+        if weights is not None:
+            self._variables = jax.device_put(weights)
+        else:
+            n_init = max(settings.n_points, settings.min_n_points)
+            dummy = jnp.zeros((1, n_init, 3 + settings.n_features), jnp.float32)
+            perm = jnp.arange(n_init, dtype=jnp.int32)
+            self._variables = self._module.init(
+                jax.random.PRNGKey(seed), dummy, perm, train=False
+            )
+
+        # jitted programs ------------------------------------------------
+        def _forward(variables, inputs, permutation):
+            return self._module.apply(variables, inputs, permutation, train=False)
+
+        def _forward_softmax(variables, inputs, permutation):
+            logits = _forward(variables, inputs, permutation)
+            return jax.nn.softmax(logits, axis=-2)
+
+        def _upsample_conf(confidences, xyz, xyz_upsampled):
+            # confidences (B, C, N1) -> (B, C, N2)
+            feats = jnp.swapaxes(confidences, -1, -2)
+            up = upsample_features(
+                feats,
+                xyz,
+                xyz_upsampled,
+                approach=settings.upsampling,
+                knn_approach=settings.knn if settings.knn != "kdtree" else "naive",
+            )
+            return jnp.swapaxes(up, -1, -2)
+
+        self._forward_jit = jax.jit(_forward)
+        self._forward_softmax_jit = jax.jit(_forward_softmax)
+        self._upsample_jit = jax.jit(_upsample_conf)
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+
+    @property
+    def module(self) -> RandLANet:
+        """Underlying flax Module (parity with model.py:71-74)."""
+        return self._module
+
+    @property
+    def variables(self) -> Dict:
+        """Current flax variables {"params", "batch_stats"}."""
+        return self._variables
+
+    @variables.setter
+    def variables(self, new_vars: Dict) -> None:
+        self._variables = new_vars
+
+    def __str__(self) -> str:
+        return self._module.tabulate(
+            jax.random.PRNGKey(0),
+            jnp.zeros(
+                (1, max(self.settings.n_points, self.settings.min_n_points),
+                 3 + self.settings.n_features),
+                jnp.float32,
+            ),
+            jnp.arange(
+                max(self.settings.n_points, self.settings.min_n_points),
+                dtype=jnp.int32,
+            ),
+            depth=2,
+        )
+
+    # ------------------------------------------------------------------
+    # serialization (archive layout parity: model.py:76-121)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def load(path: Path, use_gpu: bool = True, **kwargs) -> "Model":
+        """Load a model archive — ours (msgpack) or the reference's (torch).
+
+        kwargs override settings fields after load (model.py:100-104).
+        """
+        path = Path(path)
+        assert path.is_file(), f"Could not find model file at {path}!"
+        with tempfile.TemporaryDirectory() as tmp_str:
+            tmp = Path(tmp_str)
+            shutil.unpack_archive(str(path), tmp, format="zip")
+            with (tmp / "config").open("r") as f:
+                config = json.load(f)
+            known = {k: v for k, v in config.items() if k in RandLANetSettings.__dataclass_fields__}
+            settings = RandLANetSettings(**known)
+            for key, value in kwargs.items():
+                if hasattr(settings, key):
+                    setattr(settings, key, value)
+            blob = (tmp / "model").read_bytes()
+        variables = Model._decode_weights(blob, settings)
+        return Model(settings, weights=variables, use_gpu=use_gpu)
+
+    @staticmethod
+    def _decode_weights(blob: bytes, settings: RandLANetSettings) -> Dict:
+        try:
+            restored = flax_serialization.msgpack_restore(blob)
+            if "params" in restored:
+                return restored
+        except Exception:
+            pass
+        # fall back: a PyTorch reference archive
+        import io
+
+        import torch  # host-side deserialisation only
+
+        from recognizer3d_tpu.models.torch_compat import (
+            state_dict_to_numpy,
+            torch_state_dict_to_variables,
+        )
+
+        state_dict = torch.load(io.BytesIO(blob), map_location="cpu")
+        if "model" in state_dict.keys():
+            state_dict = state_dict["model"]
+        return torch_state_dict_to_variables(
+            state_dict_to_numpy(state_dict), settings
+        )
+
+    def save(self, path: Path) -> None:
+        """Save as a zip of ``config`` (JSON) + ``model`` (msgpack weights),
+        mirroring the reference archive layout (model.py:107-121)."""
+        path = Path(path)
+        os.makedirs(path.parent, exist_ok=True)
+        with tempfile.TemporaryDirectory() as tmp_str:
+            tmp = Path(tmp_str)
+            with (tmp / "config").open("w") as f:
+                json.dump(asdict(self.settings), f)
+            host_vars = jax.device_get(self._variables)
+            (tmp / "model").write_bytes(flax_serialization.to_bytes(host_vars))
+            with tempfile.TemporaryDirectory() as tmp2:
+                shutil.make_archive(str(Path(tmp2) / "file"), "zip", tmp)
+                shutil.move(str(Path(tmp2) / "file.zip"), path)
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def upsample(self, logits, xyz, xyz_upsampled) -> jax.Array:
+        """softmax(logits) upsampled onto xyz_upsampled (model.py:123-142).
+        logits (B, C, N1); returns confidences (B, C, N2).
+
+        The target cloud is padded to a 4096-point bucket so repeated calls
+        with varying cloud sizes reuse one compiled program."""
+        confidences = jax.nn.softmax(jnp.asarray(logits), axis=-2)
+        xyz_upsampled = np.asarray(xyz_upsampled, dtype=np.float32)
+        n_full = xyz_upsampled.shape[-2]
+        n_padded = _round_up(n_full, _BUCKET)
+        if n_padded != n_full:
+            pad_width = [(0, 0)] * xyz_upsampled.ndim
+            pad_width[-2] = (0, n_padded - n_full)
+            xyz_upsampled = np.pad(xyz_upsampled, pad_width)
+        out = self._upsample_jit(
+            confidences, jnp.asarray(xyz), jnp.asarray(xyz_upsampled)
+        )
+        return out[..., :n_full]
+
+    def _knn_regime_warnings(self) -> None:
+        """Performance-guidance warnings (model.py:160-184), adapted to the
+        on-device backends."""
+        if self.settings.n_points > 20000:
+            if self.settings.knn == "naive":
+                logging.warning(
+                    'knn="naive" for N > 20000 materialises large distance '
+                    'tiles; consider knn="pallas" or knn="approximate".'
+                )
+        elif self.settings.knn not in ("naive", "pallas"):
+            logging.warning(
+                "For improved performance, it is recommended to "
+                'use knn="naive" when N < 20000.'
+            )
+
+    def predict(
+        self,
+        xyz: np.ndarray,
+        features: Optional[np.ndarray] = None,
+        prepostprocess: bool = True,
+    ) -> np.ndarray:
+        """Predict per-class confidences on one or a batch of point clouds
+        (model.py:146-235).
+
+        :param xyz: Point coordinates (B, N, 3) or (N, 3).
+        :param features: Optional point features (B, N, F) or (N, F).
+        :param prepostprocess: Include the consistent subsample to
+            ``settings.n_points`` and the upsample back onto the full cloud.
+        :return: Per-class confidences (B, C, N) or (C, N) as numpy.
+        """
+        self._knn_regime_warnings()
+        assert xyz.shape[-1] == 3, "xyz should have shape (B) x N x 3!"
+        batched = True
+        if len(xyz.shape) == 2:
+            xyz = np.expand_dims(xyz, 0)
+            batched = False
+        if features is not None and len(features.shape) == 2:
+            features = np.expand_dims(features, 0)
+        inputs = xyz
+        if features is not None:
+            assert xyz.shape[0] == features.shape[0], (
+                "xyz and features should have same batch size!"
+            )
+            assert xyz.shape[1] == features.shape[1], (
+                "xyz and features should have same number of points!"
+            )
+            inputs = np.concatenate((xyz, features), axis=-1)
+        inputs = inputs.astype(np.float32)
+
+        if self.settings.upsampling == "none":
+            prepostprocess = False
+
+        if prepostprocess:
+            n_full = inputs.shape[1]
+            indices = consistent_sample_indices(n_full, self.settings.n_points)
+            inputs_sampled = inputs[:, indices, :]
+            permutation = np.random.permutation(self.settings.n_points).astype(
+                np.int32
+            )
+            confidences = self._forward_softmax_jit(
+                self._variables, inputs_sampled, permutation
+            )
+            # pad the full cloud to a bucket so live frames of varying size
+            # reuse one compiled upsample program
+            n_padded = _round_up(n_full, _BUCKET)
+            xyz_full = inputs[:, :, :3]
+            if n_padded != n_full:
+                pad = np.zeros(
+                    (inputs.shape[0], n_padded - n_full, 3), np.float32
+                )
+                xyz_full = np.concatenate([xyz_full, pad], axis=1)
+            predictions = self._upsample_jit(
+                confidences, inputs_sampled[:, :, :3], xyz_full
+            )
+            predictions = np.asarray(predictions)[:, :, :n_full]
+        else:
+            permutation = np.random.permutation(inputs.shape[1]).astype(np.int32)
+            predictions = np.asarray(
+                self._forward_softmax_jit(self._variables, inputs, permutation)
+            )
+        if not batched:
+            predictions = predictions[0]
+        return predictions
+
+    # ------------------------------------------------------------------
+    # training / evaluation
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        dataset_train: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        dataset_validation: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        training_settings=None,
+        augmentation_settings: AugmentationSettings = AugmentationSettings(),
+        log_dir: Optional[Path] = None,
+        class_names: Optional[List[str]] = None,
+        callbacks: List[Callable[[int, Dict[str, float]], None]] = [],
+    ):
+        """Train this model in place (model.py:237-299)."""
+        from recognizer3d_tpu.training.settings import TrainingSettings
+        from recognizer3d_tpu.training.trainer import Trainer
+
+        if training_settings is None:
+            training_settings = TrainingSettings()
+        assert (
+            class_names is not None
+            and len(class_names) == self.settings.n_classes
+        ), (
+            "The length of given class names should correspond to the "
+            "n_classes setting of the model"
+        )
+        train_dataloader = get_data_loader(
+            dataset_train,
+            self.settings.n_points,
+            training_settings.batch_size,
+            shuffle=True,
+            consistent_sampling=False,
+            augmentation_settings=augmentation_settings,
+        )
+        validation_dataloader = get_data_loader(
+            dataset_validation,
+            self.settings.n_points,
+            training_settings.batch_size,
+            shuffle=False,
+            consistent_sampling=True,
+        )
+        trainer = Trainer(
+            train_dataloader, validation_dataloader, log_dir, class_names
+        )
+        trainer.train(self, training_settings, callbacks=callbacks)
+
+    def evaluate(
+        self,
+        dataset: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        class_names: Optional[List[str]] = None,
+        batch_size: int = 16,
+        loss_function: str = "dice",
+        postprocess: bool = False,
+        include_stdev: bool = False,
+    ) -> Dict:
+        """Run the 10-seed evaluation protocol (model.py:301-336)."""
+        from recognizer3d_tpu.training.trainer import Trainer
+
+        dataloader = get_data_loader(
+            dataset,
+            self.settings.n_points,
+            batch_size,
+            shuffle=False,
+            consistent_sampling=True,
+        )
+        bag = Trainer.evaluate(
+            self, dataloader, class_names, loss_function, postprocess
+        )
+        return bag.as_dict(include_stdev=include_stdev)

@@ -1,0 +1,283 @@
+"""RandLA-Net encoder–decoder as a single jit-compiled flax module.
+
+Architectural parity with the reference PyTorch modules
+(``/root/reference/randlanet/utils/modules.py``), re-laid-out for TPU:
+
+- features live in ``(B, N, C)`` / ``(B, N, K, C)`` layouts (channels-last,
+  lane-dim friendly) instead of the reference's ``(B, C, N, 1)`` 1×1-conv
+  trickery (modules.py:60-104); every SharedMLP is a plain Dense that XLA
+  maps onto the MXU and fuses with the adjacent BN/activation;
+- the per-forward random permutation + prefix decimation
+  (modules.py:568-589) is preserved exactly, but the permutation is an
+  explicit input array so the whole forward stays a pure function under jit;
+- BatchNorm keeps the reference's eps=1e-6 / torch-momentum=0.99 semantics
+  (modules.py:87); note torch's ``running = (1−m)·running + m·batch``
+  equals flax's convention with momentum 0.01;
+- all five per-forward KNN searches run on-device through ops/knn.py.
+
+Weight-for-weight compatible with the reference: see
+``recognizer3d_tpu.models.torch_compat`` for the state-dict mapping.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from recognizer3d_tpu.models.settings import RandLANetSettings
+from recognizer3d_tpu.ops.knn import gather_neighbors, knn
+
+# torch-style initialisation: kaiming_uniform(a=√5) on a 1×1 conv/linear
+# reduces to U(−1/√fan_in, 1/√fan_in) for both kernel and bias.
+def _torch_uniform_init(fan_in: int):
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _activation(name: Optional[str]):
+    if name is None:
+        return lambda x: x
+    if name == "relu":
+        return nn.relu
+    if name == "lrelu":  # torch LeakyReLU default slope
+        return lambda x: nn.leaky_relu(x, negative_slope=0.01)
+    if name == "lrelu0.2":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(name)
+
+
+class SharedMLP(nn.Module):
+    """Dense + BatchNorm + activation over the trailing channel dim.
+
+    Equivalent of the reference's SharedMLP (modules.py:60-104); the
+    transpose-conv decoder variant collapses to the same Dense for kernel
+    size 1 (only its torch init fan differs, reproduced via ``init_fan``).
+    """
+
+    n_out: int
+    bn: bool = True
+    activation: Optional[str] = None
+    init_fan: Optional[int] = None  # override init fan-in (transpose convs)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        fan = self.init_fan if self.init_fan is not None else x.shape[-1]
+        x = nn.Dense(
+            self.n_out,
+            kernel_init=_torch_uniform_init(fan),
+            bias_init=_torch_uniform_init(fan),
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.01,  # == torch momentum 0.99 (see module docstring)
+                epsilon=1e-6,
+                name="batch_norm",
+            )(x)
+        return _activation(self.activation)(x)
+
+
+def relative_position_encoding(
+    xyz: jax.Array, neighbors: jax.Array, distances: jax.Array
+) -> jax.Array:
+    """LocSE relative position encoding (modules.py:153-186).
+
+    :param xyz: (B, N, 3) coordinates.
+    :param neighbors: (B, N, K) neighbour indices.
+    :param distances: (B, N, K) neighbour (euclidean) distances.
+    :return: (B, N, K, 10) concat of [xyz, neighbour xyz, xyz − neighbour
+             xyz, distance].
+    """
+    k = neighbors.shape[-1]
+    neighbor_xyz = gather_neighbors(xyz, neighbors)  # (B, N, K, 3)
+    center = jnp.broadcast_to(
+        xyz[:, :, None, :], neighbor_xyz.shape
+    )  # (B, N, K, 3)
+    return jnp.concatenate(
+        [center, neighbor_xyz, center - neighbor_xyz, distances[..., None]],
+        axis=-1,
+    )
+
+
+class AttentivePooling(nn.Module):
+    """Attention over the K neighbours (modules.py:224-253)."""
+
+    n_out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: (B, N, K, C) -> (B, N, C)
+        c = x.shape[-1]
+        scores = nn.Dense(
+            c,
+            use_bias=False,
+            kernel_init=_torch_uniform_init(c),
+            name="score_fn",
+        )(x)
+        scores = jax.nn.softmax(scores, axis=-2)  # softmax over K
+        pooled = jnp.sum(scores * x, axis=-2)
+        return SharedMLP(self.n_out, activation="relu", name="mlp")(
+            pooled, train=train
+        )
+
+
+class LocalFeatureAggregation(nn.Module):
+    """The RandLA-Net LFA block (modules.py:256-325).
+
+    One self-KNN per block, two rounds of (RPE-MLP → neighbour-feature
+    concat → attentive pooling), then the residual
+    ``lrelu(mlp2(features) + shortcut(input))`` producing (B, N, 2·n_out).
+    """
+
+    n_out: int
+    n_neighbors: int
+    knn_approach: str
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: jax.Array, train: bool = False
+    ) -> jax.Array:
+        neighbors, d2 = knn(xyz, xyz, self.n_neighbors, self.knn_approach)
+        distances = jnp.sqrt(d2)
+
+        half = self.n_out // 2
+        # input transformation
+        feats = SharedMLP(half, activation="lrelu0.2", name="mlp1")(
+            features, train=train
+        )
+        # first locSE + attentive pooling
+        rpe = relative_position_encoding(xyz, neighbors, distances)
+        rpe = SharedMLP(half, activation="relu", name="mlp_rpe1")(rpe, train=train)
+        cat = jnp.concatenate(
+            [rpe, gather_neighbors(feats, neighbors)], axis=-1
+        )  # (B, N, K, n_out)
+        feats = AttentivePooling(half, name="pool1")(cat, train=train)
+        # second locSE + attentive pooling
+        rpe = SharedMLP(half, activation="relu", name="mlp_rpe2")(rpe, train=train)
+        cat = jnp.concatenate(
+            [rpe, gather_neighbors(feats, neighbors)], axis=-1
+        )
+        feats = AttentivePooling(self.n_out, name="pool2")(cat, train=train)
+        # residual
+        out = SharedMLP(2 * self.n_out, name="mlp2")(feats, train=train)
+        shortcut = SharedMLP(2 * self.n_out, name="shortcut")(features, train=train)
+        return nn.leaky_relu(out + shortcut, negative_slope=0.01)
+
+
+def upsample_nni(
+    features: jax.Array,
+    xyz: jax.Array,
+    xyz_upsampled: jax.Array,
+    knn_approach: str,
+) -> jax.Array:
+    """1-NN feature copy (modules.py:343-364): each upsampled point takes the
+    features of its nearest coarse point."""
+    neighbors, _ = knn(xyz, xyz_upsampled, 1, knn_approach)
+    return gather_neighbors(features, neighbors)[:, :, 0, :]
+
+
+class RandLANet(nn.Module):
+    """Full encoder–decoder (modules.py:459-611).
+
+    ``__call__(inputs (B, N, 3+F), permutation (N,) int32, train)`` returns
+    logits (B, C, N). The permutation implements the reference's random
+    sampling hierarchy: apply it once, then each encoder level keeps the
+    first N/decimation^i points (modules.py:568-589); the inverse
+    permutation restores original point order before the head.
+    """
+
+    settings: RandLANetSettings
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jax.Array,
+        permutation: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        s = self.settings
+        B, N, dim = inputs.shape
+        assert dim == 3 + s.n_features, "Input should have shape (B, N, 3 + F)!"
+        assert N >= s.min_n_points, (
+            f"Input point cloud should have at least {s.min_n_points} points!"
+        )
+
+        xyz = inputs[..., :3].astype(jnp.float32)
+
+        # input transformation (fc_start + bn_start, modules.py:495-499,564-566)
+        feats = nn.Dense(
+            8,
+            kernel_init=_torch_uniform_init(dim),
+            bias_init=_torch_uniform_init(dim),
+            name="fc_start",
+        )(inputs)
+        feats = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.01,
+            epsilon=1e-6,
+            name="bn_start",
+        )(feats)
+        feats = nn.leaky_relu(feats, negative_slope=0.2)
+
+        # random permutation (random-sampling hierarchy)
+        xyz = xyz[:, permutation]
+        feats = feats[:, permutation]
+
+        decimation = s.decimation
+        level_sizes = [N]
+        ratio = 1
+        for _ in s.layer_sizes:
+            ratio *= decimation
+            level_sizes.append(N // ratio)
+
+        # encoder (modules.py:582-589)
+        xyz_sampled, feats_sampled = xyz, feats
+        skip_stack = []
+        for i, n_out in enumerate(s.layer_sizes):
+            feats = LocalFeatureAggregation(
+                n_out,
+                s.n_neighbors,
+                s.knn,
+                name=f"encoder_{i}",
+            )(xyz_sampled, feats_sampled, train=train)
+            skip_stack.append(feats)
+            # random sampling == prefix slice after the permutation
+            xyz_sampled = xyz[:, : level_sizes[i + 1]]
+            feats_sampled = feats[:, : level_sizes[i + 1]]
+
+        feats = SharedMLP(
+            feats_sampled.shape[-1], activation="relu", name="mlp"
+        )(feats_sampled, train=train)
+
+        # decoder (modules.py:594-605); upsampler hardcoded to 1-NN copy
+        n_outs = list(s.layer_sizes[::-1][1:])
+        decoder_channels = [2 * n for n in n_outs] + [8]
+        for i, n_out_ch in enumerate(decoder_channels):
+            level = len(s.layer_sizes) - i  # current (coarse) level index
+            xyz_from = xyz[:, : level_sizes[level]]
+            xyz_to = xyz[:, : level_sizes[level - 1]]
+            upsampled = upsample_nni(feats, xyz_from, xyz_to, s.knn)
+            feats = jnp.concatenate([upsampled, skip_stack.pop()], axis=-1)
+            feats = SharedMLP(
+                n_out_ch,
+                activation="relu",
+                init_fan=n_out_ch,  # torch ConvTranspose2d init fan quirk
+                name=f"decoder_{i}",
+            )(feats, train=train)
+
+        # inverse permutation restores original point order (modules.py:607-608)
+        feats = feats[:, jnp.argsort(permutation)]
+
+        # head (fc_end, modules.py:525-530)
+        feats = SharedMLP(64, activation="relu", name="fc_end_0")(feats, train=train)
+        feats = SharedMLP(32, activation="relu", name="fc_end_1")(feats, train=train)
+        feats = nn.Dropout(0.5, deterministic=not train)(feats)
+        feats = SharedMLP(s.n_classes, bn=False, name="fc_end_2")(feats, train=train)
+
+        return jnp.swapaxes(feats, -1, -2)  # (B, C, N) logits
