@@ -25,6 +25,12 @@ REPO = Path(__file__).resolve().parent
 
 
 def _median_time(fn, iters=10, warmup=2):
+    """Median wall time of fn.
+
+    fn MUST force a host readback of its result: through the axon TPU relay,
+    ``block_until_ready`` does not reliably wait for execution, so only a
+    value dependency gives true latency (see .claude/skills/verify/SKILL.md).
+    """
     for _ in range(warmup):
         fn()
     times = []
@@ -33,6 +39,19 @@ def _median_time(fn, iters=10, warmup=2):
         fn()
         times.append(time.perf_counter() - t)
     return float(np.median(times))
+
+
+def _amortized_time(fn_dispatch, readback, iters=20):
+    """Amortized per-call device time: dispatch ``iters`` calls then force one
+    readback — hides the per-call relay RTT that a production host would not
+    pay, exposing true device throughput."""
+    out = fn_dispatch()
+    readback(out)
+    t = time.perf_counter()
+    outs = [fn_dispatch() for _ in range(iters)]
+    for o in outs:
+        readback(o)
+    return (time.perf_counter() - t) / iters
 
 
 def main():
@@ -55,10 +74,11 @@ def main():
     x64 = jnp.asarray(rng.randn(1, 65536, 3).astype(np.float32) * 0.2)
     perm64 = jnp.asarray(rng.permutation(65536).astype(np.int32))
 
-    def fwd64():
-        model64._forward_jit(model64.variables, x64, perm64).block_until_ready()
-
-    t64 = _median_time(fwd64, iters=5, warmup=2)
+    t64 = _amortized_time(
+        lambda: model64._forward_jit(model64.variables, x64, perm64),
+        lambda o: float(jnp.sum(o)),
+        iters=10,
+    )
     clouds_per_sec = 1.0 / t64
 
     # ------------------------------------------------------------------
@@ -74,15 +94,17 @@ def main():
         cloud = np.load(sorted(mock_dir.glob("*_data.npy"))[0])
     else:
         cloud = rng.randn(150000, 3).astype(np.float32) * 0.2
+    # model.predict returns numpy -> inherently synchronous end-to-end
+    # (includes host prep + transfer + RTT, the true live-loop latency)
     predict_p50 = _median_time(lambda: model.predict(cloud), iters=10, warmup=3)
 
     xb = jnp.asarray(rng.randn(8, 2500, 3).astype(np.float32) * 0.2)
     permb = jnp.asarray(rng.permutation(2500).astype(np.int32))
-
-    def fwd_batch():
-        model._forward_softmax_jit(model.variables, xb, permb).block_until_ready()
-
-    t_batch = _median_time(fwd_batch, iters=10, warmup=2)
+    t_batch = _amortized_time(
+        lambda: model._forward_softmax_jit(model.variables, xb, permb),
+        lambda o: float(jnp.sum(o)),
+        iters=20,
+    )
     batch8_clouds_per_sec = 8.0 / t_batch
 
     # ------------------------------------------------------------------

@@ -101,9 +101,24 @@ class Model:
             )
             return jnp.swapaxes(up, -1, -2)
 
+        def _predict_full(variables, inputs_full, sample_idx, permutation):
+            # ONE program for the whole predict: device-side consistent
+            # subsample -> forward -> softmax -> full-cloud upsample. A single
+            # dispatch + a single host->device transfer per frame (the live
+            # 250 ms loop's budget, reference main.py:49).
+            sampled = jnp.take(inputs_full, sample_idx, axis=1)
+            logits = self._module.apply(
+                variables, sampled, permutation, train=False
+            )
+            confidences = jax.nn.softmax(logits, axis=-2)
+            return _upsample_conf(
+                confidences, sampled[..., :3], inputs_full[..., :3]
+            )
+
         self._forward_jit = jax.jit(_forward)
         self._forward_softmax_jit = jax.jit(_forward_softmax)
         self._upsample_jit = jax.jit(_upsample_conf)
+        self._predict_full_jit = jax.jit(_predict_full)
 
     # ------------------------------------------------------------------
     # properties
@@ -282,24 +297,25 @@ class Model:
         if prepostprocess:
             n_full = inputs.shape[1]
             indices = consistent_sample_indices(n_full, self.settings.n_points)
-            inputs_sampled = inputs[:, indices, :]
             permutation = np.random.permutation(self.settings.n_points).astype(
                 np.int32
             )
-            confidences = self._forward_softmax_jit(
-                self._variables, inputs_sampled, permutation
-            )
             # pad the full cloud to a bucket so live frames of varying size
-            # reuse one compiled upsample program
+            # reuse one compiled program
             n_padded = _round_up(n_full, _BUCKET)
-            xyz_full = inputs[:, :, :3]
             if n_padded != n_full:
                 pad = np.zeros(
-                    (inputs.shape[0], n_padded - n_full, 3), np.float32
+                    (inputs.shape[0], n_padded - n_full, inputs.shape[2]),
+                    np.float32,
                 )
-                xyz_full = np.concatenate([xyz_full, pad], axis=1)
-            predictions = self._upsample_jit(
-                confidences, inputs_sampled[:, :, :3], xyz_full
+                inputs_padded = np.concatenate([inputs, pad], axis=1)
+            else:
+                inputs_padded = inputs
+            predictions = self._predict_full_jit(
+                self._variables,
+                inputs_padded,
+                np.asarray(indices, dtype=np.int32),
+                permutation,
             )
             predictions = np.asarray(predictions)[:, :, :n_full]
         else:

@@ -1,0 +1,176 @@
+"""KNN subsystem tests: XLA paths and the Pallas kernel (interpret mode on
+CPU) against the brute-force oracle, plus the gather and upsampling ops."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recognizer3d_tpu.ops.knn import (
+    gather_neighbors,
+    knn,
+    knn_approximate,
+    knn_naive,
+    knn_tiled,
+)
+from recognizer3d_tpu.ops.knn_pallas import knn_pallas, morton_codes
+from recognizer3d_tpu.ops.upsample import upsample
+
+
+def _oracle(support, query, k):
+    """float64 numpy brute force."""
+    s = np.asarray(support, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = (
+        np.sum(q**2, -1)[..., :, None]
+        + np.sum(s**2, -1)[..., None, :]
+        - 2 * np.einsum("bmd,bnd->bmn", q, s)
+    )
+    idx = np.argsort(d2, axis=-1)[..., :k]
+    return idx, np.take_along_axis(d2, idx, axis=-1)
+
+
+def _assert_matches_oracle(got_i, got_d, support, query, k, atol=1e-5):
+    _, ref_d = _oracle(support, query, k)
+    # distances must match the k smallest (ties can permute indices)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got_d), axis=-1), np.sort(ref_d, axis=-1), atol=atol
+    )
+    # returned indices must actually produce the returned distances
+    s = np.asarray(support)
+    q = np.asarray(query)
+    for b in range(q.shape[0]):
+        pts = s[b][np.asarray(got_i)[b]]  # (M, k, 3)
+        d2 = np.sum((pts - q[b][:, None, :]) ** 2, axis=-1)
+        np.testing.assert_allclose(
+            d2, np.asarray(got_d)[b], atol=atol, rtol=1e-4
+        )
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.RandomState(0)
+    support = rng.rand(2, 700, 3).astype(np.float32)
+    query = rng.rand(2, 450, 3).astype(np.float32)
+    return jnp.asarray(support), jnp.asarray(query)
+
+
+class TestKnnXla:
+    def test_naive_matches_oracle(self, clouds):
+        s, q = clouds
+        i, d = knn_naive(s, q, 16)
+        _assert_matches_oracle(i, d, s, q, 16)
+
+    def test_tiled_matches_naive(self, clouds):
+        s, q = clouds
+        i1, d1 = knn_tiled(s, q, 8, support_tile=128)
+        _, d0 = knn_naive(s, q, 8)
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d0), atol=1e-5
+        )
+
+    def test_tiled_query_blocks(self, clouds):
+        s, q = clouds
+        i1, d1 = knn_tiled(s, q, 8, support_tile=128, query_block=100)
+        _, d0 = knn_naive(s, q, 8)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+
+    def test_approximate_high_recall(self, clouds):
+        s, q = clouds
+        i_a, d_a = knn_approximate(s, q, 8, recall_target=0.99)
+        _, d0 = knn_naive(s, q, 8)
+        # approximate: most neighbours match
+        close = np.isclose(
+            np.sort(np.asarray(d_a), -1), np.sort(np.asarray(d0), -1),
+            atol=1e-5,
+        )
+        assert close.mean() > 0.9
+
+    def test_dispatch_unknown(self, clouds):
+        s, q = clouds
+        with pytest.raises(ValueError):
+            knn(s, q, 4, approach="bogus")
+
+    def test_gather_neighbors(self):
+        feats = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 6, 4))
+        idx = jnp.asarray([[[0, 5], [2, 2]]])  # (1, 2, 2)
+        out = gather_neighbors(feats, idx)
+        assert out.shape == (1, 2, 2, 4)
+        np.testing.assert_array_equal(np.asarray(out)[0, 0, 1], np.arange(20, 24))
+
+
+class TestKnnPallas:
+    @pytest.mark.parametrize(
+        "B,N,M,k",
+        [(1, 600, 600, 8), (2, 900, 500, 32), (1, 200, 1000, 1)],
+    )
+    def test_matches_oracle(self, B, N, M, k):
+        rng = np.random.RandomState(1)
+        s = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+        q = s if M == N else jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
+        i, d = knn_pallas(s, q, k, interpret=True)
+        _assert_matches_oracle(i, d, s, q, k)
+
+    def test_self_knn_includes_self(self):
+        rng = np.random.RandomState(2)
+        s = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+        i, d = knn_pallas(s, s, 4, interpret=True)
+        # nearest neighbour of each point is itself at distance 0
+        np.testing.assert_array_equal(
+            np.asarray(i)[0, :, 0], np.arange(512)
+        )
+        np.testing.assert_allclose(np.asarray(d)[0, :, 0], 0.0, atol=1e-9)
+
+    def test_clustered_cloud(self):
+        """Spatially clustered data (the culling fast path) stays exact."""
+        rng = np.random.RandomState(3)
+        centers = rng.rand(8, 3) * 10
+        pts = (
+            centers[rng.randint(0, 8, 1200)]
+            + rng.randn(1200, 3) * 0.05
+        ).astype(np.float32)
+        s = jnp.asarray(pts[None])
+        i, d = knn_pallas(s, s, 16, interpret=True)
+        _assert_matches_oracle(i, d, s, s, 16)
+
+    def test_morton_codes_locality(self):
+        xyz = jnp.asarray(np.random.RandomState(0).rand(1, 256, 3).astype(np.float32))
+        codes = np.asarray(morton_codes(xyz))[0]
+        assert codes.min() >= 0
+        # close points get close codes: perturb one point slightly
+        xyz2 = xyz.at[0, 0].add(1e-4)
+        codes2 = np.asarray(morton_codes(xyz2))[0]
+        assert abs(int(codes[0]) - int(codes2[0])) < 1 << 12
+
+
+class TestUpsample:
+    def test_nni_copies_nearest(self):
+        s = jnp.asarray([[[0.0, 0, 0], [1, 0, 0]]])
+        feats = jnp.asarray([[[10.0, 20.0], [30.0, 40.0]]])
+        q = jnp.asarray([[[0.1, 0, 0], [0.9, 0, 0], [2.0, 0, 0]]])
+        out = upsample(feats, s, q, approach="nni")
+        np.testing.assert_array_equal(
+            np.asarray(out), [[[10, 20], [30, 40], [30, 40]]]
+        )
+
+    def test_idw_weighting(self):
+        s = jnp.asarray([[[0.0, 0, 0], [1, 0, 0]]])
+        feats = jnp.asarray([[[0.0], [10.0]]])
+        q = jnp.asarray([[[0.25, 0, 0]]])
+        out = upsample(feats, s, q, approach="idw", n_neighbors=2)
+        # weights ~ 1/d: d0=0.25, d1=0.75 -> w0=0.75, w1=0.25 -> 2.5
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 2.5, rtol=1e-3)
+
+    def test_isdw_weighting(self):
+        s = jnp.asarray([[[0.0, 0, 0], [1, 0, 0]]])
+        feats = jnp.asarray([[[0.0], [10.0]]])
+        q = jnp.asarray([[[0.25, 0, 0]]])
+        out = upsample(feats, s, q, approach="isdw", n_neighbors=2)
+        # weights ~ 1/d²: 16 vs 16/9 -> value = 10*(1/9)/(1+1/9) = 1.0
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, rtol=1e-3)
+
+    def test_none_identity(self):
+        feats = jnp.asarray(np.random.randn(1, 5, 3).astype(np.float32))
+        out = upsample(feats, None, None, approach="none")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
