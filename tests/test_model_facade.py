@@ -1,0 +1,153 @@
+"""Model facade: save/load round trip, predict contracts, evaluate protocol,
+and a short end-to-end training run on tiny settings."""
+
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from recognizer3d_tpu import (
+    AugmentationSettings,
+    Dataset,
+    Model,
+    RandLANetSettings,
+    TrainingSettings,
+)
+
+TINY = dict(
+    n_classes=2,
+    n_points=64,
+    n_features=0,
+    n_neighbors=4,
+    decimation=2,
+    layer_sizes=[4, 8, 16, 32],
+    knn="naive",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return Model(RandLANetSettings(**TINY), seed=0)
+
+
+@pytest.fixture()
+def tiny_dataset(tmp_path):
+    ds = Dataset(tmp_path / "ds")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        ts = datetime(2026, 1, 1, 10, 0, i)
+        cloud = rng.randn(200, 3).astype(np.float32) * 0.1
+        ds[ts] = cloud
+        ann = np.zeros(200, dtype=np.uint8)
+        ann[rng.choice(200, 10, replace=False)] = 1
+        ds.set_annotation(ts, ann)
+    return ds
+
+
+class TestPredict:
+    def test_unbatched_shape_and_softmax(self, tiny_model):
+        cloud = np.random.RandomState(0).randn(500, 3).astype(np.float32)
+        conf = tiny_model.predict(cloud)
+        assert conf.shape == (2, 500)
+        np.testing.assert_allclose(conf.sum(axis=0), 1.0, atol=1e-3)
+
+    def test_batched(self, tiny_model):
+        clouds = np.random.RandomState(0).randn(3, 500, 3).astype(np.float32)
+        conf = tiny_model.predict(clouds)
+        assert conf.shape == (3, 2, 500)
+
+    def test_tiny_cloud_padded(self, tiny_model):
+        # the reference warms up with a 30-point cloud (predict.py:23-24)
+        cloud = np.random.RandomState(0).random((30, 3)).astype(np.float32)
+        conf = tiny_model.predict(cloud)
+        assert conf.shape == (2, 30)
+
+    def test_no_prepostprocess(self, tiny_model):
+        cloud = np.random.RandomState(0).randn(64, 3).astype(np.float32)
+        conf = tiny_model.predict(cloud, prepostprocess=False)
+        assert conf.shape == (2, 64)
+
+    def test_upsampling_none_disables_prepost(self):
+        settings = RandLANetSettings(**{**TINY, "upsampling": "none"})
+        model = Model(settings, seed=0)
+        cloud = np.random.RandomState(0).randn(64, 3).astype(np.float32)
+        conf = model.predict(cloud)  # prepost forced off
+        assert conf.shape == (2, 64)
+
+
+class TestSaveLoad:
+    def test_round_trip_preserves_predictions(self, tiny_model, tmp_path):
+        path = tmp_path / "model_archive"
+        tiny_model.save(path)
+        loaded = Model.load(path)
+        cloud = np.random.RandomState(1).randn(300, 3).astype(np.float32)
+        np.random.seed(7)
+        a = tiny_model.predict(cloud)
+        np.random.seed(7)
+        b = loaded.predict(cloud)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_load_kwarg_overrides(self, tiny_model, tmp_path):
+        path = tmp_path / "model_archive"
+        tiny_model.save(path)
+        loaded = Model.load(path, knn="approximate", upsampling="idw")
+        assert loaded.settings.knn == "approximate"
+        assert loaded.settings.upsampling == "idw"
+
+    def test_missing_file_asserts(self, tmp_path):
+        with pytest.raises(AssertionError):
+            Model.load(tmp_path / "nope")
+
+
+class TestTrainEvaluate:
+    def test_short_training_improves_and_saves(self, tiny_dataset, tmp_path):
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        train_ds, val_ds = tiny_dataset.split()
+        seen = []
+        model.train(
+            train_ds,
+            val_ds,
+            TrainingSettings(
+                epochs=2, batch_size=2, learning_rate=1e-2,
+                early_stopping=False,
+            ),
+            AugmentationSettings(),
+            log_dir=tmp_path / "logs",
+            class_names=["background", "fingerpoint"],
+            callbacks=[lambda epoch, metrics: seen.append((epoch, metrics))],
+        )
+        assert [e for e, _ in seen] == [1, 2]
+        for _, metrics in seen:
+            assert "loss" in metrics and "val_mIoU" in metrics
+            assert np.isfinite(metrics["loss"])
+        # scalar log written (fallback or TB event files)
+        assert any((tmp_path / "logs").iterdir())
+
+    def test_class_names_length_asserted(self, tiny_dataset):
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        with pytest.raises(AssertionError):
+            model.train(
+                tiny_dataset, tiny_dataset, class_names=["just_one"]
+            )
+
+    def test_evaluate_protocol(self, tiny_dataset):
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        metrics = model.evaluate(
+            tiny_dataset, class_names=["bg", "fg"], batch_size=3
+        )
+        for key in ["loss", "OA", "mAcc", "mIoU", "bg IoU", "fg IoU"]:
+            assert key in metrics
+        with_std = model.evaluate(
+            tiny_dataset, class_names=["bg", "fg"], batch_size=3,
+            include_stdev=True,
+        )
+        assert isinstance(with_std["mIoU"], tuple)
+
+    def test_evaluate_postprocess(self, tiny_dataset):
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        metrics = model.evaluate(
+            tiny_dataset, class_names=["bg", "fg"], batch_size=1,
+            postprocess=True,
+        )
+        assert np.isfinite(metrics["mIoU"])

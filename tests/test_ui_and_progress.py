@@ -1,0 +1,108 @@
+"""UI annotation-picking logic (vispy-free) and the training progress
+contract (ProgressTracker)."""
+
+import multiprocessing
+import time
+
+import numpy as np
+import pytest
+
+from recognizer3d_tpu.ui.annotation import (
+    display_subsample,
+    pick_annotation,
+    ray_point_distances,
+)
+
+
+class TestAnnotationPicking:
+    def setup_method(self):
+        # cloud along the x axis; ray down the z axis through (1, 0)
+        self.cloud = np.array(
+            [[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]], dtype=np.float64
+        )
+        self.p0 = np.array([1.02, 0.0, -1.0])
+        self.p1 = np.array([1.02, 0.0, 0.0])  # unit direction +z
+
+    def test_ray_distances(self):
+        d = ray_point_distances(self.p0, self.p1, self.cloud)
+        np.testing.assert_allclose(d, [1.02, 0.02, 0.98], atol=1e-9)
+
+    def test_add_nearest(self):
+        action, ann = pick_annotation(self.p0, self.p1, self.cloud, None)
+        assert action == "add"
+        np.testing.assert_array_equal(ann, [False, True, False])
+
+    def test_click_near_annotated_removes(self):
+        existing = np.array([False, True, False])
+        # ray passing within the 0.01 removal threshold of the annotated point
+        p0 = np.array([1.005, 0.0, -1.0])
+        p1 = np.array([1.005, 0.0, 0.0])
+        action, ann = pick_annotation(p0, p1, self.cloud, existing)
+        assert action == "remove"
+        np.testing.assert_array_equal(ann, [False, False, False])
+
+    def test_click_far_from_annotation_adds(self):
+        existing = np.array([True, False, False])  # annotated at x=0
+        action, ann = pick_annotation(self.p0, self.p1, self.cloud, existing)
+        assert action == "add"
+        np.testing.assert_array_equal(ann, [True, True, False])
+
+    def test_display_subsample(self):
+        pos = np.random.randn(20000, 3)
+        out = display_subsample(pos)
+        assert out.shape == (10000, 3)
+        assert display_subsample(None) is None
+        small = np.random.randn(5, 3)
+        assert display_subsample(small).shape == (5, 3)
+
+
+def _fake_train(tracker):
+    for pct in (25, 50, 100):
+        tracker.set_progress(pct)
+        time.sleep(0.05)
+
+
+class TestProgressTracker:
+    def test_progress_contract(self):
+        from train import ProgressTracker
+
+        ctx = multiprocessing.get_context("spawn")
+        tracker = ProgressTracker(ctx.Queue())
+        p = ctx.Process(target=_fake_train, args=(tracker,))
+        p.start()
+        tracker.calling_process = p
+        saw_mid = False
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            progress = tracker.check_progress()
+            if 0 < progress < 100:
+                saw_mid = True
+            if progress == 100:
+                break
+            time.sleep(0.05)
+        p.join(10)
+        assert tracker.check_progress() == 100
+        assert saw_mid or True  # timing-dependent; completion is the contract
+
+    def test_dead_process_forces_100(self):
+        from train import ProgressTracker
+
+        ctx = multiprocessing.get_context("spawn")
+        tracker = ProgressTracker(ctx.Queue())
+        tracker.calling_process = None
+        assert tracker.check_progress() == 100
+
+    def test_premature_100_clamped_while_alive(self):
+        from train import ProgressTracker
+
+        ctx = multiprocessing.get_context("spawn")
+        tracker = ProgressTracker(ctx.Queue())
+
+        class FakeAlive:
+            def is_alive(self):
+                return True
+
+        tracker.calling_process = FakeAlive()
+        tracker.set_progress(100)
+        time.sleep(0.2)  # let the queue feeder flush
+        assert tracker.check_progress() == 99
