@@ -1,0 +1,164 @@
+"""Device-resident input pipeline.
+
+The reference does all preprocessing per-sample in Python on the host
+(z-filter in the camera layer, subsample/normalize/augment in the torch
+Dataset adapter — SURVEY.md §2.7, §3.2 "HOT: CPU preproc"). Here the entire
+stage runs as jit programs on the TPU:
+
+- :func:`z_filter_subsample` — raw sensor frame → z-band filter + random
+  fixed-size subsample in ONE fused program (the live loop's preprocessing,
+  replacing camera/realsense_camera.py:117-118 + model.py:211-215 host work);
+- :func:`normalize_cloud_device` — center + radius normalization
+  (mean/max/stdev, utils/dataset.py:81-92 semantics);
+- :class:`DeviceDatasetCache` — the training-side pipeline: the whole
+  dataset lives padded in HBM; each step draws, subsamples and augments a
+  batch on device, so the host never touches point data during training.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recognizer3d_tpu.data.augmentation import (
+    AugmentationSettings,
+    perturbate_point_cloud_device,
+)
+
+Z_MIN, Z_MAX = 0.05, 0.6  # reference camera z band (realsense_camera.py:117)
+
+
+def z_filter_subsample(
+    key: jax.Array,
+    raw: jax.Array,
+    n_out: int,
+    z_min: float = Z_MIN,
+    z_max: float = Z_MAX,
+) -> Tuple[jax.Array, jax.Array]:
+    """Filter a raw frame to the z band and randomly subsample to a fixed
+    size, fully on device.
+
+    Invalid/filtered points get +inf priority, valid points a uniform random
+    priority; taking the n_out smallest priorities yields a uniform random
+    subset of the valid points (and deterministically pads with invalid
+    points only when fewer than n_out are valid).
+
+    :param raw: (N_raw, 3) or (B, N_raw, 3) raw sensor points (zeros =
+                invalid, like the RealSense SDK emits).
+    :param n_out: static output size.
+    :return: (points (..., n_out, 3), valid (..., n_out) bool mask).
+    """
+    batched = raw.ndim == 3
+    if not batched:
+        raw = raw[None]
+    b, n_raw, _ = raw.shape
+    z = raw[..., 2]
+    valid = (z > z_min) & (z < z_max)
+    priority = jnp.where(
+        valid, jax.random.uniform(key, (b, n_raw)), jnp.inf
+    )
+    _, order = jax.lax.top_k(-priority, n_out)  # n_out smallest priorities
+    points = jnp.take_along_axis(raw, order[..., None], axis=1)
+    valid_out = jnp.take_along_axis(valid, order, axis=1)
+    points = jnp.where(valid_out[..., None], points, 0.0)
+    if not batched:
+        return points[0], valid_out[0]
+    return points, valid_out
+
+
+def normalize_cloud_device(
+    xyz: jax.Array, normalization: Optional[str]
+) -> jax.Array:
+    """Center + radius normalization (mean/max/stdev), batched, jit-able."""
+    if normalization is None:
+        return xyz
+    center = jnp.mean(xyz, axis=-2, keepdims=True)
+    xyz = xyz - center
+    norms = jnp.linalg.norm(xyz, axis=-1)
+    if normalization == "mean":
+        radius = jnp.mean(norms, axis=-1)
+    elif normalization == "max":
+        radius = jnp.max(norms, axis=-1)
+    elif normalization == "stdev":
+        radius = jnp.std(norms, axis=-1)
+    else:
+        radius = jnp.ones(norms.shape[:-1], xyz.dtype)
+    return xyz / radius[..., None, None]
+
+
+class DeviceDatasetCache:
+    """Training data resident in HBM with on-device batch assembly.
+
+    Host work happens ONCE (load + pad the dataset); afterwards
+    :meth:`sample_batch` is a single jit program per step: per-sample random
+    subsample to ``n_points`` (valid-mask aware) + optional augmentation.
+    """
+
+    def __init__(
+        self,
+        dataset: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        n_points: int,
+        augmentation_settings: Optional[AugmentationSettings] = None,
+    ):
+        clouds, labels = [], []
+        n_max = 0
+        for i in range(len(dataset)):
+            xyz, _feats, lab = dataset[i]
+            clouds.append(np.asarray(xyz, dtype=np.float32))
+            labels.append(np.asarray(lab, dtype=np.int32))
+            n_max = max(n_max, xyz.shape[0])
+        self.n_samples = len(clouds)
+        self.n_points = n_points
+        self._augmentation = augmentation_settings
+
+        xyz_pad = np.zeros((self.n_samples, n_max, 3), np.float32)
+        lab_pad = np.zeros((self.n_samples, n_max), np.int32)
+        valid = np.zeros((self.n_samples, n_max), bool)
+        for i, (c, l) in enumerate(zip(clouds, labels)):
+            xyz_pad[i, : len(c)] = c
+            lab_pad[i, : len(l)] = l
+            valid[i, : len(c)] = True
+        self._xyz = jax.device_put(xyz_pad)
+        self._labels = jax.device_put(lab_pad)
+        self._valid = jax.device_put(valid)
+
+        def _sample_one(key, xyz, labels, valid):
+            k_sel, k_aug = jax.random.split(key)
+            priority = jnp.where(
+                valid, jax.random.uniform(k_sel, valid.shape), jnp.inf
+            )
+            _, order = jax.lax.top_k(-priority, n_points)
+            pts = xyz[order]
+            labs = labels[order]
+            if augmentation_settings is not None:
+                pts = perturbate_point_cloud_device(
+                    k_aug, pts, augmentation_settings
+                )
+            return pts, labs
+
+        def _sample_batch(key, sample_ids):
+            keys = jax.random.split(key, sample_ids.shape[0])
+            return jax.vmap(
+                lambda k, i: _sample_one(
+                    k, self._xyz[i], self._labels[i], self._valid[i]
+                )
+            )(keys, sample_ids)
+
+        self._sample_batch_jit = jax.jit(_sample_batch)
+
+    def sample_batch(
+        self, key: jax.Array, sample_ids: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(inputs (B, n_points, 3), labels (B, n_points)) on device."""
+        return self._sample_batch_jit(key, jnp.asarray(sample_ids))
+
+    def epoch_batches(self, key: jax.Array, batch_size: int):
+        """Yield shuffled (inputs, labels) device batches covering the
+        dataset once (remainder batch included, like the host loader)."""
+        k_shuf, k_eps = jax.random.split(key)
+        order = np.asarray(jax.random.permutation(k_shuf, self.n_samples))
+        for start in range(0, self.n_samples, batch_size):
+            ids = order[start : start + batch_size]
+            k_eps, k_b = jax.random.split(k_eps)
+            yield self.sample_batch(k_b, ids)

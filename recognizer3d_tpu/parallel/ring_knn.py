@@ -1,0 +1,106 @@
+"""Distributed exact KNN over point-sharded clouds (ring exchange).
+
+The reference's "sequence" dimension is the point dimension N, always
+resident on one device (SURVEY.md §2.9: sequence-parallel row). For clouds
+beyond one chip's memory/compute (the 1M-point S3DIS-style stretch config in
+BASELINE.json), we shard N across the ICI ring and run the neighbourhood
+search as a ring collective — the ring-attention analogue for KNN:
+
+- each device keeps its local query shard fixed;
+- support shards rotate around the ring (``lax.ppermute``), D steps;
+- each step merges the visiting shard's candidates into a running top-k,
+  with indices offset to GLOBAL (block-sharded) ids.
+
+Peak memory is O(N/D) per device and the exchange rides the ICI ring —
+never a full all-gather of the cloud.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from recognizer3d_tpu.ops.knn import knn_naive
+
+
+def _ring_knn_local(
+    support_shard: jax.Array,
+    query_shard: jax.Array,
+    k: int,
+    axis_name: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-device body (inside shard_map): support/query (B, n_loc, 3)."""
+    n_devices = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    n_loc = support_shard.shape[1]
+    b, m_loc, _ = query_shard.shape
+    k_step = min(k, n_loc)
+    perm = [(j, (j + 1) % n_devices) for j in range(n_devices)]
+
+    def step(carry, i):
+        best_d, best_i, visiting = carry
+        # the shard visiting us at step i originated at device (me - i) % D
+        src = (me - i) % n_devices
+        idx, d2 = knn_naive(visiting, query_shard, k_step)
+        idx_global = idx + src * n_loc  # block-sharded global ids
+        cand_d = jnp.concatenate([best_d, d2], axis=-1)
+        cand_i = jnp.concatenate([best_i, idx_global], axis=-1)
+        neg_top, sel = lax.top_k(-cand_d, k)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cand_i, sel, axis=-1)
+        visiting = lax.ppermute(visiting, axis_name, perm)
+        return (new_d, new_i, visiting), None
+
+    # mark the init carries as varying over the mesh axis (shard_map typing)
+    def _vary(x):
+        try:
+            return lax.pcast(x, (axis_name,), to="varying")
+        except (AttributeError, TypeError):
+            return lax.pvary(x, (axis_name,))
+
+    init = (
+        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32)),
+        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32)),
+        support_shard,
+    )
+    (best_d, best_i, _), _ = lax.scan(
+        step, init, jnp.arange(n_devices, dtype=jnp.int32)
+    )
+    return best_i, jnp.maximum(best_d, 0.0)
+
+
+def ring_knn(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis_name: str = "points",
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact KNN with both clouds block-sharded over ``axis_name``.
+
+    :param support: (B, N, 3) — N divisible by the mesh axis size.
+    :param query: (B, M, 3) — M divisible by the mesh axis size.
+    :return: (indices int32 (B, M, k) GLOBAL into support, squared dists).
+             Outputs are sharded over the query/point axis.
+    """
+    f = shard_map(
+        partial(_ring_knn_local, k=k, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+    )
+    return f(support, query)
+
+
+def point_sharded_mesh(n_devices: int = -1) -> Mesh:
+    """1-D mesh over the point axis (SP analogue)."""
+    import numpy as np
+
+    devices = jax.devices()
+    if n_devices == -1:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), axis_names=("points",))

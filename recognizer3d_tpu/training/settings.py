@@ -25,3 +25,9 @@ class TrainingSettings:
     #: chip; >1 uses a jax.sharding.Mesh over the batch axis — TPU-native
     #: replacement for the DDP the reference never had, SURVEY.md §2.9)
     data_parallel_devices: int = 1
+    #: Save a full training-state checkpoint to <log_dir>/checkpoints every
+    #: N epochs (0 disables — the reference's behaviour, which persists
+    #: nothing mid-training, SURVEY.md §5.4)
+    checkpoint_every: int = 0
+    #: Resume from the latest checkpoint in <log_dir>/checkpoints if present
+    resume: bool = False

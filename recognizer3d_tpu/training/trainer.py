@@ -154,7 +154,37 @@ class Trainer:
 
             shard_batch = shard_batch_fn(mesh)
 
-        for epoch in range(1, settings.epochs + 1):
+        # checkpoint / resume (additive over the reference, SURVEY.md §5.4)
+        ckpt_dir = None
+        start_epoch = 1
+        if self._log_dir is not None and (
+            settings.checkpoint_every > 0 or settings.resume
+        ):
+            from recognizer3d_tpu.training import checkpoint as ckpt
+
+            ckpt_dir = Path(self._log_dir) / "checkpoints"
+            if settings.resume:
+                latest = ckpt.latest_checkpoint(ckpt_dir)
+                if latest is not None:
+                    from flax import serialization as flax_serialization
+
+                    restored = ckpt.restore_checkpoint(ckpt_dir, latest)
+                    params = flax_serialization.from_state_dict(
+                        params, restored["params"]
+                    )
+                    batch_stats = flax_serialization.from_state_dict(
+                        batch_stats, restored["batch_stats"]
+                    )
+                    opt_state = flax_serialization.from_state_dict(
+                        opt_state, restored["opt_state"]
+                    )
+                    start_epoch = int(restored["epoch"]) + 1
+                    step_counter = int(restored.get("step", 0))
+                    logger.info(
+                        f"Resumed from checkpoint epoch {latest} in {ckpt_dir}"
+                    )
+
+        for epoch in range(start_epoch, settings.epochs + 1):
             # StepLR: lr0 · decay^((epoch−1)//10) — trainer.py:81-83
             lr = settings.learning_rate * (
                 settings.learning_rate_decay ** ((epoch - 1) // 10)
@@ -204,6 +234,24 @@ class Trainer:
             )
             for callback in callbacks:
                 callback(epoch, metrics)
+            if (
+                ckpt_dir is not None
+                and settings.checkpoint_every > 0
+                and epoch % settings.checkpoint_every == 0
+            ):
+                from recognizer3d_tpu.training import checkpoint as ckpt
+
+                ckpt.save_checkpoint(
+                    ckpt_dir,
+                    epoch,
+                    {
+                        "params": params,
+                        "batch_stats": batch_stats,
+                        "opt_state": opt_state,
+                        "epoch": epoch,
+                        "step": step_counter,
+                    },
+                )
             if not continue_training:
                 break
 

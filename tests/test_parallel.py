@@ -1,0 +1,99 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: data-parallel training step,
+ring KNN (point sharding), and batch-sharding helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from recognizer3d_tpu.ops.knn import knn_naive
+from recognizer3d_tpu.parallel.mesh import (
+    data_parallel_mesh,
+    replicate_fn,
+    shard_batch_fn,
+)
+from recognizer3d_tpu.parallel.ring_knn import point_sharded_mesh, ring_knn
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestRingKnn:
+    def test_matches_single_device(self, eight_devices):
+        mesh = point_sharded_mesh(8)
+        rng = np.random.RandomState(0)
+        support = jnp.asarray(rng.rand(2, 64 * 8, 3).astype(np.float32))
+        query = jnp.asarray(rng.rand(2, 32 * 8, 3).astype(np.float32))
+        idx, d2 = ring_knn(support, query, 8, mesh)
+        ref_idx, ref_d2 = knn_naive(support, query, 8)
+        np.testing.assert_allclose(
+            np.asarray(d2), np.asarray(ref_d2), atol=1e-5
+        )
+        # indices must reproduce the distances
+        s = np.asarray(support)
+        q = np.asarray(query)
+        got_i = np.asarray(idx)
+        for b in range(2):
+            pts = s[b][got_i[b]]
+            d2_check = np.sum((pts - q[b][:, None, :]) ** 2, axis=-1)
+            np.testing.assert_allclose(
+                d2_check, np.asarray(d2)[b], atol=1e-5
+            )
+
+    def test_self_knn_sharded(self, eight_devices):
+        mesh = point_sharded_mesh(8)
+        rng = np.random.RandomState(1)
+        cloud = jnp.asarray(rng.rand(1, 16 * 8, 3).astype(np.float32))
+        idx, d2 = ring_knn(cloud, cloud, 4, mesh)
+        np.testing.assert_array_equal(
+            np.asarray(idx)[0, :, 0], np.arange(128)
+        )
+        np.testing.assert_allclose(np.asarray(d2)[0, :, 0], 0.0, atol=1e-7)
+
+    def test_k_larger_than_local_shard(self, eight_devices):
+        # k > N/D: each step contributes fewer than k candidates
+        mesh = point_sharded_mesh(8)
+        rng = np.random.RandomState(2)
+        support = jnp.asarray(rng.rand(1, 8 * 8, 3).astype(np.float32))
+        query = jnp.asarray(rng.rand(1, 8 * 8, 3).astype(np.float32))
+        idx, d2 = ring_knn(support, query, 16, mesh)  # 16 > 64/8
+        _, ref = knn_naive(support, query, 16)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(ref), atol=1e-5)
+
+
+class TestDataParallel:
+    def test_shard_and_replicate(self, eight_devices):
+        mesh = data_parallel_mesh(8)
+        shard = shard_batch_fn(mesh)
+        x = shard(np.arange(8 * 4, dtype=np.float32).reshape(8, 4))
+        assert len(x.sharding.device_set) == 8
+        rep = replicate_fn(mesh)({"w": np.ones(3, np.float32)})
+        assert len(rep["w"].sharding.device_set) == 8
+
+    def test_dp_train_step_runs(self, eight_devices):
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
+
+    def test_dp_gradients_match_single_device(self, eight_devices):
+        """The sharded loss/grad equals the unsharded one (same batch)."""
+        mesh = data_parallel_mesh(8)
+        shard = shard_batch_fn(mesh)
+
+        def loss_fn(w, x):
+            return jnp.mean((x @ w) ** 2)
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(8, 5).astype(np.float32)
+        w = rng.randn(5).astype(np.float32)
+        g_ref = jax.grad(loss_fn)(jnp.asarray(w), jnp.asarray(x))
+        g_dp = jax.jit(jax.grad(loss_fn))(jnp.asarray(w), shard(x))
+        np.testing.assert_allclose(
+            np.asarray(g_dp), np.asarray(g_ref), rtol=1e-5
+        )
