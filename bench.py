@@ -98,6 +98,20 @@ def main():
     # (includes host prep + transfer + RTT, the true live-loop latency)
     predict_p50 = _median_time(lambda: model.predict(cloud), iters=10, warmup=3)
 
+    # device-resident live loop: raw z16 depth frame -> dewarp -> filter ->
+    # subsample -> predict -> mask, one fused program (BASELINE.json's
+    # 250 ms streaming config)
+    from recognizer3d_tpu.models.live import LivePredictor
+
+    live = LivePredictor(model, n_display=32768)
+    depth = (
+        rng.uniform(0.1 / 0.00025, 0.55 / 0.00025, (768, 1024))
+        .astype(np.uint16)
+    )
+    live_p50 = _median_time(
+        lambda: live.predict_depth(depth), iters=10, warmup=3
+    )
+
     xb = jnp.asarray(rng.randn(8, 2500, 3).astype(np.float32) * 0.2)
     permb = jnp.asarray(rng.permutation(2500).astype(np.int32))
     t_batch = _amortized_time(
@@ -125,6 +139,7 @@ def main():
         "device": str(device),
         "forward_64k_ms": t64 * 1000,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
+        "live_depth_predict_p50_ms": live_p50 * 1000,
         "batch8_clouds_per_sec_appconfig": batch8_clouds_per_sec,
         "baseline_available": baseline_available,
     }

@@ -66,9 +66,54 @@ def knn_naive(
     Fine for M·N up to a few hundred million on one chip; use
     :func:`knn_tiled` / ``knn_pallas`` beyond that.
     """
+    if k == 1:
+        return knn_argmin(support, query)
     d2 = _pairwise_sq_dists(query, support)
     neg_top, idx = lax.top_k(-d2, k)  # smallest distances
     return idx.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
+
+
+def knn_argmin(
+    support: jax.Array,
+    query: jax.Array,
+    support_tile: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact 1-NN as a streaming min/argmin — the decoder-upsampling hot
+    path (every fine point copies its nearest coarse point's features,
+    modules.py:343-364). No top-k machinery: a scan over support tiles with
+    a running (min, argmin) carry, purely bandwidth-bound.
+    """
+    B, N, _ = support.shape
+    M = query.shape[1]
+    n_tiles = -(-N // support_tile)
+    pad = n_tiles * support_tile - N
+    if pad:
+        far = jnp.full((B, pad, 3), 1e9, dtype=support.dtype)
+        support = jnp.concatenate([support, far], axis=1)
+    tiles = jnp.moveaxis(
+        support.reshape(B, n_tiles, support_tile, 3), 1, 0
+    )
+
+    def step(carry, inputs):
+        best_d, best_i = carry  # (B, M)
+        tile, t = inputs
+        d2 = _pairwise_sq_dists(query, tile)  # (B, M, T)
+        tile_min = jnp.min(d2, axis=-1)
+        tile_arg = jnp.argmin(d2, axis=-1).astype(jnp.int32) + t * support_tile
+        take = tile_min < best_d
+        return (
+            jnp.where(take, tile_min, best_d),
+            jnp.where(take, tile_arg, best_i),
+        ), None
+
+    init = (
+        jnp.full((B, M), jnp.inf, dtype=jnp.float32),
+        jnp.zeros((B, M), dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = lax.scan(
+        step, init, (tiles, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    return best_i[..., None], jnp.maximum(best_d, 0.0)[..., None]
 
 
 def knn_tiled(
@@ -204,6 +249,9 @@ def knn(
     remain as the CPU implementation and as the test oracle.
     """
     if approach == "naive":
+        if k == 1:
+            # streaming argmin beats any top-k pipeline for 1-NN
+            return knn_argmin(support, query)
         if _on_tpu() and k <= 128:
             from recognizer3d_tpu.ops.knn_pallas import knn_pallas
 

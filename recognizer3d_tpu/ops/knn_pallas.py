@@ -235,8 +235,8 @@ def knn_pallas(
     support: jax.Array,
     query: jax.Array,
     k: int,
-    query_block: int = 256,
-    support_tile: int = 512,
+    query_block: int = None,
+    support_tile: int = None,
     interpret: bool = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact KNN via the fused Morton/cull/merge kernel.
@@ -244,6 +244,10 @@ def knn_pallas(
     Same contract as ops/knn.py functions: (indices int32 (B, M, k),
     squared distances f32 (B, M, k)), indices into the ORIGINAL (unsorted)
     support order.
+
+    Default block sizes come from a v5e sweep: small clouds prefer more
+    queries per program (fewer grid iterations), large clouds prefer small
+    query blocks (tighter per-block thresholds -> more tile culling).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -251,6 +255,10 @@ def knn_pallas(
     m = query.shape[1]
     assert k <= n, f"k={k} exceeds support size {n}"
     assert k <= _KB, f"k={k} > {_KB} not supported by the pallas kernel"
+    if support_tile is None:
+        support_tile = 512 if n <= 8192 else 1024
+    if query_block is None:
+        query_block = 256 if m <= 8192 else 128
 
     ts = min(support_tile, _round_up(n, 128))
     qb = min(query_block, _round_up(m, 8))
