@@ -82,7 +82,7 @@ def _lane_select(vec: jax.Array, lane_iota: jax.Array, idx) -> jax.Array:
 
 def _knn_kernel(
     q_ref,  # (1, QB, 3) queries (sorted order)
-    s_ref,  # (1, 3, N_pad) support, coordinate-major so lanes hold points
+    s_ref,  # (1, 4, N_pad) support, coordinate-major (4th row is padding)
     bbox_ref,  # (1, n_tiles, 8) per-tile [min xyz, max xyz, pad, pad]
     idx_ref,  # out (1, QB, 128) int32 (into sorted support; lanes >= k junk)
     d2_ref,  # out (1, QB, 128) f32
@@ -170,6 +170,107 @@ def _knn_kernel(
     d2_ref[0] = best_d
 
 
+def _knn_kernel_hbm(
+    q_ref,  # (1, QB, 3) queries (sorted order), VMEM
+    s_ref,  # (B, 4, N_pad) full support in HBM/ANY — tiles DMA'd on demand
+    bbox_ref,  # (1, n_tiles, 8) VMEM
+    idx_ref,  # out (1, QB, 128) int32
+    d2_ref,  # out (1, QB, 128) f32
+    best_d_ref,  # scratch VMEM (QB, 128)
+    best_i_ref,  # scratch VMEM (QB, 128)
+    s_tile_ref,  # scratch VMEM (4, TS) — the visiting support tile
+    dma_sem,  # DMA semaphore
+    *,
+    k: int,
+    ts: int,
+    n_tiles: int,
+):
+    """Large-N variant: support stays in HBM; a tile is DMA'd into VMEM only
+    when it survives the bbox cull (culled tiles cost zero HBM traffic).
+    Same results as the VMEM kernel."""
+    qb = q_ref.shape[1]
+    q = q_ref[0]
+    iota3 = lax.broadcasted_iota(jnp.int32, (qb, 3), 1)
+    qx = _lane_select(q, iota3, 0)
+    qy = _lane_select(q, iota3, 1)
+    qz = _lane_select(q, iota3, 2)
+    qi = pl.program_id(1)
+    t_center = (qi * qb) // ts
+
+    lane = lax.broadcasted_iota(jnp.int32, (qb, _KB + ts), 1)
+    cand_tail = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
+    lane_kb = lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
+    iota8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+    best_d_ref[:] = jnp.full((qb, _KB), jnp.inf, jnp.float32)
+    best_i_ref[:] = jnp.zeros((qb, _KB), jnp.int32)
+
+    def body(step, _):
+        mag = (step + 1) // 2
+        sign = jnp.where(step % 2 == 1, 1, -1)
+        t = (t_center + mag * sign) % n_tiles
+
+        bb = bbox_ref[0, pl.ds(t, 1), :]
+        lb = jnp.zeros((qb, 1), jnp.float32)
+        for d, qc in enumerate((qx, qy, qz)):
+            lo = _lane_select(bb, iota8, d)
+            hi = _lane_select(bb, iota8, 3 + d)
+            delta = jnp.maximum(lo - qc, 0.0) + jnp.maximum(qc - hi, 0.0)
+            lb = lb + delta * delta
+        best_d = best_d_ref[:]
+        theta = jnp.sum(
+            jnp.where(lane_kb == k - 1, best_d, 0.0), axis=1, keepdims=True
+        )
+        visit = jnp.any(lb < theta)
+
+        @pl.when(visit)
+        def _():
+            dma = pltpu.make_async_copy(
+                s_ref.at[pl.program_id(0), :, pl.ds(t * ts, ts)],
+                s_tile_ref,
+                dma_sem,
+            )
+            dma.start()
+            dma.wait()
+            sx = s_tile_ref[0:1, :]
+            sy = s_tile_ref[1:2, :]
+            sz = s_tile_ref[2:3, :]
+            d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+            cand_d = jnp.concatenate([best_d_ref[:], d2], axis=1)
+            cand_i = jnp.concatenate(
+                [best_i_ref[:], cand_tail + t * ts], axis=1
+            )
+            ds, inds = [], []
+            big = jnp.int32(_KB + ts)
+            for _j in range(k):
+                m = jnp.min(cand_d, axis=1, keepdims=True)
+                pos = jnp.min(
+                    jnp.where(cand_d == m, lane, big), axis=1, keepdims=True
+                )
+                onehot = lane == pos
+                sel_i = jnp.sum(
+                    jnp.where(onehot, cand_i, 0), axis=1, keepdims=True
+                )
+                cand_d = jnp.where(onehot, jnp.inf, cand_d)
+                ds.append(m)
+                inds.append(sel_i)
+            if _KB > k:
+                ds.append(jnp.full((qb, _KB - k), jnp.inf, jnp.float32))
+                inds.append(jnp.zeros((qb, _KB - k), jnp.int32))
+            best_d_ref[:] = jnp.concatenate(ds, axis=1)
+            best_i_ref[:] = jnp.concatenate(inds, axis=1).astype(jnp.int32)
+
+        return 0
+
+    lax.fori_loop(0, n_tiles, body, 0)
+    idx_ref[0] = best_i_ref[:]
+    d2_ref[0] = best_d_ref[:]
+
+
+# support arrays larger than this stay in HBM with on-demand tile DMA
+_VMEM_SUPPORT_LIMIT_BYTES = 4 * 1024 * 1024
+
+
 def _knn_pallas_sorted(
     support: jax.Array,
     query: jax.Array,
@@ -194,40 +295,75 @@ def _knn_pallas_sorted(
         ],
         axis=-1,
     )  # (B, n_tiles, 8)
-    support_t = jnp.swapaxes(support, 1, 2)  # (B, 3, N_pad): lanes = points
+    # coordinate-major with the coord dim padded 3 -> 4 so DMA slices stay
+    # sublane-tile aligned (mosaic requires dim -2 slices aligned to 4)
+    support_t = jnp.swapaxes(support, 1, 2)  # (B, 3, N_pad)
+    support_t = jnp.concatenate(
+        [support_t, jnp.zeros((B, 1, n_pad), support_t.dtype)], axis=1
+    )  # (B, 4, N_pad)
 
     grid = (B, m_pad // qb)
-    kernel = functools.partial(_knn_kernel, k=k, ts=ts, n_tiles=n_tiles)
-    idx, d2 = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 3, n_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, n_tiles, 8),
-                lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.float32),
-        ],
-        interpret=interpret,
-    )(query, support_t, bbox)
+    hbm = n_pad * 3 * 4 > _VMEM_SUPPORT_LIMIT_BYTES
+    common_specs = dict(
+        q=pl.BlockSpec(
+            (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        bbox=pl.BlockSpec(
+            (1, n_tiles, 8), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.int32),
+        jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.float32),
+    ]
+    if hbm and not interpret:
+        kernel = functools.partial(
+            _knn_kernel_hbm, k=k, ts=ts, n_tiles=n_tiles
+        )
+        idx, d2 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                common_specs["q"],
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                common_specs["bbox"],
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((qb, _KB), jnp.float32),
+                pltpu.VMEM((qb, _KB), jnp.int32),
+                pltpu.VMEM((4, ts), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(query, support_t, bbox)
+    else:
+        kernel = functools.partial(_knn_kernel, k=k, ts=ts, n_tiles=n_tiles)
+        idx, d2 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                common_specs["q"],
+                pl.BlockSpec(
+                    (1, 4, n_pad),
+                    lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                common_specs["bbox"],
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(query, support_t, bbox)
     return idx[..., :k], jnp.maximum(d2[..., :k], 0.0)
 
 
