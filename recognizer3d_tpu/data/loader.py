@@ -39,6 +39,11 @@ class PointCloudPreprocessor:
         self._consistent_sampling = consistent_sampling
         self._augmentation_settings = augmentation_settings
         self._normalization = normalization
+        # consistent sampling without augmentation is a pure function of the
+        # sample -> cache it (the 10-seed eval protocol re-reads every sample
+        # 10x per epoch otherwise, trainer.py:301-312)
+        self._cacheable = consistent_sampling and augmentation_settings is None
+        self._cache = {}
 
     def __len__(self) -> int:
         return len(self._dataset)
@@ -49,6 +54,9 @@ class PointCloudPreprocessor:
         """Returns (input (n, 3+F) float32, labels (n,) int32, idx); with
         ``preprocess=False`` returns the raw full-resolution cloud (used by
         postprocess evaluation, trainer.py:327-333)."""
+        if preprocess and self._cacheable and idx in self._cache:
+            inputs, labels = self._cache[idx]
+            return inputs, labels, idx
         if preprocess:
             xyz, features, labels = self.preprocess(*self._dataset[idx])
         else:
@@ -56,7 +64,10 @@ class PointCloudPreprocessor:
         inputs = np.concatenate(
             [xyz.astype(np.float32), features.astype(np.float32)], axis=1
         )
-        return inputs, labels.astype(np.int32), idx
+        labels = labels.astype(np.int32)
+        if preprocess and self._cacheable:
+            self._cache[idx] = (inputs, labels)
+        return inputs, labels, idx
 
     def preprocess(
         self, xyz: np.ndarray, features: np.ndarray, labels: np.ndarray

@@ -81,6 +81,8 @@ def _lane_select(vec: jax.Array, lane_iota: jax.Array, idx) -> jax.Array:
 
 
 def _knn_kernel(
+    order_ref,  # SMEM (B, n_blocks, n_tiles) int32: per-block tile visit order
+    boxd_ref,  # SMEM (B, n_blocks, n_tiles) f32: box-to-box lb, ascending
     q_ref,  # (1, QB, 3) queries (sorted order)
     s_ref,  # (1, 4, N_pad) support, coordinate-major (4th row is padding)
     bbox_ref,  # (1, n_tiles, 8) per-tile [min xyz, max xyz, pad, pad]
@@ -97,22 +99,29 @@ def _knn_kernel(
     qx = _lane_select(q, iota3, 0)  # (QB, 1)
     qy = _lane_select(q, iota3, 1)
     qz = _lane_select(q, iota3, 2)
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
-    t_center = (qi * qb) // ts
 
     lane = lax.broadcasted_iota(jnp.int32, (qb, _KB + ts), 1)
     cand_tail = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
     lane_kb = lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
     iota8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
 
-    def body(step, carry):
-        best_d, best_i = carry  # (QB, KB): sorted ascending; slots >= k inf
-        # zig-zag: 0, +1, -1, +2, -2, ... around the query's own tile
-        mag = (step + 1) // 2
-        sign = jnp.where(step % 2 == 1, 1, -1)
-        t = (t_center + mag * sign) % n_tiles
+    def cond(carry):
+        # visit order is ascending in box-to-box lower bound: once the next
+        # tile's bound exceeds the WORST k-th-best in the block, every later
+        # tile does too -> exact early exit.
+        step, theta_max, _best_d, _best_i = carry
+        in_range = step < n_tiles
+        safe_step = jnp.minimum(step, n_tiles - 1)
+        next_lb = boxd_ref[bi, qi, safe_step]
+        return in_range & (next_lb < theta_max)
 
-        # bbox lower-bound cull
+    def body(carry):
+        step, _theta_max, best_d, best_i = carry
+        t = order_ref[bi, qi, step]
+
+        # per-query bbox lower-bound cull (tighter than the block-level bound)
         bb = bbox_ref[0, pl.ds(t, 1), :]  # (1, 8)
         lb = jnp.zeros((qb, 1), jnp.float32)
         for d, qc in enumerate((qx, qy, qz)):
@@ -159,18 +168,27 @@ def _knn_kernel(
                 jnp.concatenate(inds, axis=1).astype(jnp.int32),
             )
 
-        return lax.cond(visit, merge, lambda c: c, (best_d, best_i))
+        best_d, best_i = lax.cond(visit, merge, lambda c: c, (best_d, best_i))
+        theta_all = jnp.sum(
+            jnp.where(lane_kb == k - 1, best_d, 0.0), axis=1, keepdims=True
+        )
+        theta_max = jnp.max(theta_all)
+        return step + 1, theta_max, best_d, best_i
 
     init = (
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
         jnp.full((qb, _KB), jnp.inf, dtype=jnp.float32),
         jnp.zeros((qb, _KB), dtype=jnp.int32),
     )
-    best_d, best_i = lax.fori_loop(0, n_tiles, body, init)
+    _, _, best_d, best_i = lax.while_loop(cond, body, init)
     idx_ref[0] = best_i
     d2_ref[0] = best_d
 
 
 def _knn_kernel_hbm(
+    order_ref,  # SMEM (B, n_blocks, n_tiles) int32: per-block tile visit order
+    boxd_ref,  # SMEM (B, n_blocks, n_tiles) f32: box-to-box lb, ascending
     q_ref,  # (1, QB, 3) queries (sorted order), VMEM
     s_ref,  # (B, 4, N_pad) full support in HBM/ANY — tiles DMA'd on demand
     bbox_ref,  # (1, n_tiles, 8) VMEM
@@ -194,8 +212,8 @@ def _knn_kernel_hbm(
     qx = _lane_select(q, iota3, 0)
     qy = _lane_select(q, iota3, 1)
     qz = _lane_select(q, iota3, 2)
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
-    t_center = (qi * qb) // ts
 
     lane = lax.broadcasted_iota(jnp.int32, (qb, _KB + ts), 1)
     cand_tail = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
@@ -205,10 +223,17 @@ def _knn_kernel_hbm(
     best_d_ref[:] = jnp.full((qb, _KB), jnp.inf, jnp.float32)
     best_i_ref[:] = jnp.zeros((qb, _KB), jnp.int32)
 
-    def body(step, _):
-        mag = (step + 1) // 2
-        sign = jnp.where(step % 2 == 1, 1, -1)
-        t = (t_center + mag * sign) % n_tiles
+    def cond(carry):
+        step, theta_max = carry
+        in_range = step < n_tiles
+        safe_step = jnp.minimum(step, n_tiles - 1)
+        next_lb = boxd_ref[bi, qi, safe_step]
+        return in_range & (next_lb < theta_max)
+
+    def body(carry):
+        step, _theta_max = carry
+        # visit tiles nearest-box-first (order prefetched into SMEM)
+        t = order_ref[bi, qi, step]
 
         bb = bbox_ref[0, pl.ds(t, 1), :]
         lb = jnp.zeros((qb, 1), jnp.float32)
@@ -260,9 +285,14 @@ def _knn_kernel_hbm(
             best_d_ref[:] = jnp.concatenate(ds, axis=1)
             best_i_ref[:] = jnp.concatenate(inds, axis=1).astype(jnp.int32)
 
-        return 0
+        theta_all = jnp.sum(
+            jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
+            axis=1,
+            keepdims=True,
+        )
+        return step + 1, jnp.max(theta_all)
 
-    lax.fori_loop(0, n_tiles, body, 0)
+    lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(jnp.inf)))
     idx_ref[0] = best_i_ref[:]
     d2_ref[0] = best_d_ref[:]
 
@@ -287,14 +317,26 @@ def _knn_pallas_sorted(
     n_tiles = n_pad // ts
 
     tiles = support.reshape(B, n_tiles, ts, 3)
+    tile_lo = jnp.min(tiles, axis=2)  # (B, n_tiles, 3)
+    tile_hi = jnp.max(tiles, axis=2)
     bbox = jnp.concatenate(
-        [
-            jnp.min(tiles, axis=2),
-            jnp.max(tiles, axis=2),
-            jnp.zeros((B, n_tiles, 2), support.dtype),
-        ],
+        [tile_lo, tile_hi, jnp.zeros((B, n_tiles, 2), support.dtype)],
         axis=-1,
     )  # (B, n_tiles, 8)
+
+    # per-query-block tile visit order by TRUE 3-D box-to-box distance
+    # (tightens the running threshold immediately; Morton adjacency alone is
+    # only a 1-D proxy). Computed in XLA, prefetched into SMEM.
+    n_blocks = m_pad // qb
+    q_blocks = query.reshape(B, n_blocks, qb, 3)
+    q_lo = jnp.min(q_blocks, axis=2)  # (B, n_blocks, 3)
+    q_hi = jnp.max(q_blocks, axis=2)
+    gap = jnp.maximum(
+        tile_lo[:, None, :, :] - q_hi[:, :, None, :], 0.0
+    ) + jnp.maximum(q_lo[:, :, None, :] - tile_hi[:, None, :, :], 0.0)
+    box_d2 = jnp.sum(gap * gap, axis=-1)  # (B, n_blocks, n_tiles)
+    visit_order = jnp.argsort(box_d2, axis=-1).astype(jnp.int32)
+    boxd_sorted = jnp.take_along_axis(box_d2, visit_order, axis=-1)
     # coordinate-major with the coord dim padded 3 -> 4 so DMA slices stay
     # sublane-tile aligned (mosaic requires dim -2 slices aligned to 4)
     support_t = jnp.swapaxes(support, 1, 2)  # (B, 3, N_pad)
@@ -306,18 +348,20 @@ def _knn_pallas_sorted(
     hbm = n_pad * 3 * 4 > _VMEM_SUPPORT_LIMIT_BYTES
     common_specs = dict(
         q=pl.BlockSpec(
-            (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, qb, 3), lambda b, i, order, boxd: (b, i, 0), memory_space=pltpu.VMEM
         ),
         bbox=pl.BlockSpec(
-            (1, n_tiles, 8), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, n_tiles, 8),
+            lambda b, i, order, boxd: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
     out_specs = [
         pl.BlockSpec(
-            (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, qb, _KB), lambda b, i, order, boxd: (b, i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, qb, _KB), lambda b, i, order, boxd: (b, i, 0), memory_space=pltpu.VMEM
         ),
     ]
     out_shape = [
@@ -328,8 +372,8 @@ def _knn_pallas_sorted(
         kernel = functools.partial(
             _knn_kernel_hbm, k=k, ts=ts, n_tiles=n_tiles
         )
-        idx, d2 = pl.pallas_call(
-            kernel,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 common_specs["q"],
@@ -337,33 +381,41 @@ def _knn_pallas_sorted(
                 common_specs["bbox"],
             ],
             out_specs=out_specs,
-            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((qb, _KB), jnp.float32),
                 pltpu.VMEM((qb, _KB), jnp.int32),
                 pltpu.VMEM((4, ts), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
-            interpret=interpret,
-        )(query, support_t, bbox)
-    else:
-        kernel = functools.partial(_knn_kernel, k=k, ts=ts, n_tiles=n_tiles)
+        )
         idx, d2 = pl.pallas_call(
             kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(visit_order, boxd_sorted, query, support_t, bbox)
+    else:
+        kernel = functools.partial(_knn_kernel, k=k, ts=ts, n_tiles=n_tiles)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 common_specs["q"],
                 pl.BlockSpec(
                     (1, 4, n_pad),
-                    lambda b, i: (b, 0, 0),
+                    lambda b, i, order, boxd: (b, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 common_specs["bbox"],
             ],
             out_specs=out_specs,
+        )
+        idx, d2 = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(query, support_t, bbox)
+        )(visit_order, boxd_sorted, query, support_t, bbox)
     return idx[..., :k], jnp.maximum(d2[..., :k], 0.0)
 
 
