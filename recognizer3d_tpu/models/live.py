@@ -69,7 +69,7 @@ class LivePredictor:
         self,
         model,
         confidence_threshold: float = 0.5,
-        n_display: int = 32768,
+        n_display: int = 16384,  # UI displays <= 10k points anyway
         intrinsics: DepthIntrinsics = DepthIntrinsics(),
         z_band: Tuple[float, float] = (Z_MIN, Z_MAX),
     ):

@@ -31,3 +31,8 @@ class TrainingSettings:
     checkpoint_every: int = 0
     #: Resume from the latest checkpoint in <log_dir>/checkpoints if present
     resume: bool = False
+    #: Keep the training set resident in device HBM and assemble batches
+    #: (subsample + augment) on device — removes all per-step host
+    #: preprocessing (data/pipeline.py). Falls back to the host loader for
+    #: datasets with extra per-point features.
+    device_pipeline: bool = False

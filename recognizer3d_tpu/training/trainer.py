@@ -154,6 +154,27 @@ class Trainer:
 
             shard_batch = shard_batch_fn(mesh)
 
+        # optional device-resident input pipeline (data/pipeline.py): the
+        # dataset lives in HBM, batches are subsampled+augmented on device
+        device_cache = None
+        if settings.device_pipeline:
+            preproc = self._train_dataloader.dataset
+            sample0 = preproc._dataset[0]
+            if sample0[1].shape[1] == 0:  # xyz-only datasets
+                from recognizer3d_tpu.data.pipeline import DeviceDatasetCache
+
+                device_cache = DeviceDatasetCache(
+                    preproc._dataset,
+                    preproc._n_sample_points,
+                    augmentation_settings=preproc._augmentation_settings,
+                )
+            else:
+                logger.warning(
+                    "device_pipeline requested but the dataset has extra "
+                    "point features; using the host loader."
+                )
+        pipe_root = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
         # checkpoint / resume (additive over the reference, SURVEY.md §5.4)
         ckpt_dir = None
         start_epoch = 1
@@ -191,7 +212,16 @@ class Trainer:
             )
             train_metrics = MetricCollector(self._class_names)
             pending = []
-            for inputs, labels, _ in self._train_dataloader:
+            if device_cache is not None:
+                batch_iter = device_cache.epoch_batches(
+                    jax.random.fold_in(pipe_root, epoch), settings.batch_size
+                )
+            else:
+                batch_iter = (
+                    (inputs, labels)
+                    for inputs, labels, _ in self._train_dataloader
+                )
+            for inputs, labels in batch_iter:
                 n_pts = inputs.shape[1]
                 permutation = np.random.permutation(n_pts).astype(np.int32)
                 dropout_key = jax.random.fold_in(dropout_root, step_counter)

@@ -152,6 +152,31 @@ class TestCheckpoint:
         assert epochs_seen == [3]
 
 
+class TestDevicePipelineTraining:
+    def test_trainer_with_device_pipeline(self, tmp_path):
+        ds = TestDeviceDatasetCache()._dataset(tmp_path, n=4)
+        tiny = dict(
+            n_classes=2, n_points=64, n_neighbors=4, decimation=2,
+            layer_sizes=[4, 8, 16, 32], knn="naive",
+        )
+        model = Model(RandLANetSettings(**tiny), seed=0)
+        train_ds, val_ds = ds.split()
+        seen = []
+        model.train(
+            train_ds,
+            val_ds,
+            TrainingSettings(
+                epochs=2, batch_size=2, early_stopping=False,
+                device_pipeline=True,
+            ),
+            AugmentationSettings(),
+            class_names=["bg", "fg"],
+            callbacks=[lambda e, m: seen.append(m)],
+        )
+        assert len(seen) == 2
+        assert all(np.isfinite(m["loss"]) for m in seen)
+
+
 class TestProfilingUtils:
     def test_warmup_and_timeit(self):
         f = jax.jit(lambda x: x * 2 + 1)
