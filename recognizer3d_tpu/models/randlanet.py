@@ -84,18 +84,24 @@ class SharedMLP(nn.Module):
 
 
 def relative_position_encoding(
-    xyz: jax.Array, neighbors: jax.Array, distances: jax.Array
+    xyz: jax.Array,
+    neighbors: jax.Array,
+    distances: jax.Array,
+    neighbor_xyz: Optional[jax.Array] = None,
 ) -> jax.Array:
     """LocSE relative position encoding (modules.py:153-186).
 
     :param xyz: (B, N, 3) coordinates.
     :param neighbors: (B, N, K) neighbour indices.
     :param distances: (B, N, K) neighbour (euclidean) distances.
+    :param neighbor_xyz: optional pre-gathered (B, N, K, 3) neighbour
+        coordinates (gather cost on TPU is per-row, so callers that also
+        gather features should fetch both in ONE combined gather).
     :return: (B, N, K, 10) concat of [xyz, neighbour xyz, xyz − neighbour
              xyz, distance].
     """
-    k = neighbors.shape[-1]
-    neighbor_xyz = gather_neighbors(xyz, neighbors)  # (B, N, K, 3)
+    if neighbor_xyz is None:
+        neighbor_xyz = gather_neighbors(xyz, neighbors)  # (B, N, K, 3)
     center = jnp.broadcast_to(
         xyz[:, :, None, :], neighbor_xyz.shape
     )  # (B, N, K, 3)
@@ -151,11 +157,18 @@ class LocalFeatureAggregation(nn.Module):
         feats = SharedMLP(half, activation="lrelu0.2", name="mlp1")(
             features, train=train
         )
-        # first locSE + attentive pooling
-        rpe = relative_position_encoding(xyz, neighbors, distances)
+        # first locSE + attentive pooling. Gather cost on TPU is per-ROW
+        # (flat in channel count), so neighbour xyz and features are fetched
+        # in ONE combined gather instead of two.
+        gathered = gather_neighbors(
+            jnp.concatenate([xyz, feats], axis=-1), neighbors
+        )  # (B, N, K, 3 + half)
+        rpe = relative_position_encoding(
+            xyz, neighbors, distances, neighbor_xyz=gathered[..., :3]
+        )
         rpe = SharedMLP(half, activation="relu", name="mlp_rpe1")(rpe, train=train)
         cat = jnp.concatenate(
-            [rpe, gather_neighbors(feats, neighbors)], axis=-1
+            [rpe, gathered[..., 3:]], axis=-1
         )  # (B, N, K, n_out)
         feats = AttentivePooling(half, name="pool1")(cat, train=train)
         # second locSE + attentive pooling

@@ -250,6 +250,16 @@ def knn(
     """
     if approach == "naive":
         if k == 1:
+            if _on_tpu() and 8192 <= support.shape[1] <= 65536:
+                # fused streaming 1-NN: support tiles stay in VMEM, the
+                # (M, N) distance matrix never touches HBM (the XLA scan
+                # path below materialises it tile-by-tile — ~2x slower at
+                # the decoder's 16k->64k upsampling step). For small
+                # support the XLA matmul path wins (fewer, wider tiles);
+                # for huge support it bounds memory by streaming HBM.
+                from recognizer3d_tpu.ops.knn_pallas import argmin_pallas
+
+                return argmin_pallas(support, query)
             # streaming argmin beats any top-k pipeline for 1-NN
             return knn_argmin(support, query)
         if _on_tpu() and k <= 128:
@@ -284,7 +294,18 @@ def gather_neighbors(features: jax.Array, neighbors: jax.Array) -> jax.Array:
     :return: (B, M, K, C) gathered features.
 
     This is the XLA-native form of the reference's unsqueeze/expand/gather
-    chains (modules.py:170-186, :209-221) — a single batched gather that XLA
-    fuses with the surrounding concat/MLP.
+    chains (modules.py:170-186, :209-221). Formulation matters on TPU: a
+    single flat ``jnp.take`` over a (B·N, C) table lowers to the fast
+    row-gather path (measured 3.2× over the batched-gather form of
+    ``vmap(lambda f, i: f[i])`` at 64k points; cost is per-row, flat in C).
     """
-    return jax.vmap(lambda f, idx: f[idx])(features, neighbors)
+    B, N, C = features.shape
+    M, K = neighbors.shape[1], neighbors.shape[2]
+    if B == 1:
+        flat = neighbors[0].reshape(-1)
+        table = features[0]
+    else:
+        offsets = (jnp.arange(B, dtype=neighbors.dtype) * N)[:, None]
+        flat = (neighbors.reshape(B, M * K) + offsets).reshape(-1)
+        table = features.reshape(B * N, C)
+    return jnp.take(table, flat, axis=0).reshape(B, M, K, C)

@@ -10,21 +10,31 @@ distance+select pipeline entirely:
    10-bit-per-axis Morton code, giving spatial locality to the tile
    decomposition — the TPU analogue of FAISS's IVF cells, with zero index
    build cost.
-2. **Tiled VMEM sweep** (Pallas): each program owns one query block
-   (QB queries in VMEM) and walks support tiles (TS points, coordinate-major
-   so lanes hold points) in a zig-zag order starting from the query block's
-   own Morton neighbourhood, so the running k-th-best threshold tightens
-   immediately.
-3. **BBox culling**: per-tile axis-aligned bounding boxes are precomputed;
-   a tile is skipped (predicated out) when every query's lower-bound
-   distance to the box exceeds its current k-th best — exactness is
-   preserved because the bound is a true lower bound. On spatially coherent
-   clouds the vast majority of tiles are culled.
-4. **Exact merge**: surviving tiles are merged with a k-pass min-extraction
-   over the (QB, 128+TS) candidate row — all in VMEM, the distance tile
-   never touches HBM.
+2. **In-kernel nearest-box-first traversal**: each program owns one query
+   block (QB queries in VMEM). At start it computes the box-to-box lower
+   bound from its own bounding box to every support tile's bounding box
+   into a VMEM vector; each iteration extracts the nearest unvisited tile
+   with a masked argmin (a lane-reduction — no SMEM order arrays, so the
+   kernel scales to millions of points where a precomputed per-block visit
+   order would blow the 1 MB SMEM budget). Once the next tile's bound
+   exceeds the block's worst k-th-best, every later tile's does too —
+   exact early exit.
+3. **BBox culling**: a tile is skipped (predicated out) when every query's
+   individual lower-bound distance to the tile box exceeds its current
+   k-th best — exactness is preserved because the bound is a true lower
+   bound. On spatially coherent clouds the vast majority of tiles are
+   culled; in the ``hbm`` variant culled tiles cost zero HBM traffic.
+4. **Adaptive exact merge**: for a surviving tile, first count how many of
+   its candidates actually beat the block's running k-th-best thresholds
+   (``nc`` — usually ≪ k once the buffer is warm, 0 for most tiles). Only
+   ``min(nc, k)`` min-extraction passes run over the wide (QB, TS) distance
+   tile (a *dynamic* fori_loop), staging the winners into a 128-lane
+   buffer; the staged winners then merge with the running best over just
+   256 lanes. Exact: a candidate ≥ the current k-th best can never enter
+   the top-k, and a tile can contribute at most k entries, necessarily its
+   k smallest. All in VMEM; the distance tile never touches HBM.
 
-Mosaic notes: every lane dimension is kept a multiple of 128 and all
+Mosaic notes: every big lane dimension is kept a multiple of 128 and all
 scalar/lane extractions are done with masked reductions instead of sub-vreg
 lane slices (which crash the vector-layout pass on this toolchain).
 
@@ -81,17 +91,25 @@ def _lane_select(vec: jax.Array, lane_iota: jax.Array, idx) -> jax.Array:
 
 
 def _knn_kernel(
-    order_ref,  # SMEM (B, n_blocks, n_tiles) int32: per-block tile visit order
-    boxd_ref,  # SMEM (B, n_blocks, n_tiles) f32: box-to-box lb, ascending
-    q_ref,  # (1, QB, 3) queries (sorted order)
-    s_ref,  # (1, 4, N_pad) support, coordinate-major (4th row is padding)
-    bbox_ref,  # (1, n_tiles, 8) per-tile [min xyz, max xyz, pad, pad]
+    q_ref,  # (1, QB, 3) queries (sorted order), VMEM
+    s_ref,  # support, coordinate-major (4th row is padding):
+    #          VMEM (1, 4, N_pad) when hbm=False; ANY (B, 4, N_pad) when
+    #          hbm=True (tiles DMA'd on demand — culled tiles cost zero
+    #          HBM traffic)
+    bbox_ref,  # (1, 8, n_tiles) per-tile [min xyz | max xyz | pad pad] rows
     idx_ref,  # out (1, QB, 128) int32 (into sorted support; lanes >= k junk)
     d2_ref,  # out (1, QB, 128) f32
+    best_d_ref,  # scratch VMEM (QB, 128) running best (sorted, +inf padded)
+    best_i_ref,  # scratch VMEM (QB, 128)
+    tile_d2_ref,  # scratch VMEM (QB, TS) distances of the visiting tile
+    lbvec_ref,  # scratch VMEM (1, n_tiles) box-to-box lb; +inf once visited
+    s_tile_ref,  # scratch VMEM (4, TS), hbm=True only (else None)
+    dma_sem,  # DMA semaphore, hbm=True only (else None)
     *,
     k: int,
     ts: int,
     n_tiles: int,
+    hbm: bool,
 ):
     qb = q_ref.shape[1]
     q = q_ref[0]  # (QB, 3)
@@ -100,201 +118,362 @@ def _knn_kernel(
     qy = _lane_select(q, iota3, 1)
     qz = _lane_select(q, iota3, 2)
     bi = pl.program_id(0)
-    qi = pl.program_id(1)
 
-    lane = lax.broadcasted_iota(jnp.int32, (qb, _KB + ts), 1)
-    cand_tail = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
+    lane_ts = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
     lane_kb = lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
-    iota8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-
-    def cond(carry):
-        # visit order is ascending in box-to-box lower bound: once the next
-        # tile's bound exceeds the WORST k-th-best in the block, every later
-        # tile does too -> exact early exit.
-        step, theta_max, _best_d, _best_i = carry
-        in_range = step < n_tiles
-        safe_step = jnp.minimum(step, n_tiles - 1)
-        next_lb = boxd_ref[bi, qi, safe_step]
-        return in_range & (next_lb < theta_max)
-
-    def body(carry):
-        step, _theta_max, best_d, best_i = carry
-        t = order_ref[bi, qi, step]
-
-        # per-query bbox lower-bound cull (tighter than the block-level bound)
-        bb = bbox_ref[0, pl.ds(t, 1), :]  # (1, 8)
-        lb = jnp.zeros((qb, 1), jnp.float32)
-        for d, qc in enumerate((qx, qy, qz)):
-            lo = _lane_select(bb, iota8, d)  # (1, 1)
-            hi = _lane_select(bb, iota8, 3 + d)
-            delta = jnp.maximum(lo - qc, 0.0) + jnp.maximum(qc - hi, 0.0)
-            lb = lb + delta * delta
-        # k-th best (lane k-1 of the sorted buffer) via masked reduction
-        theta = jnp.sum(
-            jnp.where(lane_kb == k - 1, best_d, 0.0), axis=1, keepdims=True
-        )
-        visit = jnp.any(lb < theta)
-
-        def merge(carry_in):
-            best_d, best_i = carry_in
-            # squared distances via broadcast (contraction dim is only 3, so
-            # explicit FMA beats a degenerate MXU matmul)
-            sx = s_ref[0, 0:1, pl.ds(t * ts, ts)]  # (1, TS)
-            sy = s_ref[0, 1:2, pl.ds(t * ts, ts)]
-            sz = s_ref[0, 2:3, pl.ds(t * ts, ts)]
-            d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2  # (QB, TS)
-            cand_d = jnp.concatenate([best_d, d2], axis=1)  # (QB, KB+TS)
-            cand_i = jnp.concatenate([best_i, cand_tail + t * ts], axis=1)
-            ds, inds = [], []
-            big = jnp.int32(_KB + ts)
-            for _j in range(k):
-                m = jnp.min(cand_d, axis=1, keepdims=True)  # (QB, 1)
-                # first-occurrence argmin via iota-min
-                pos = jnp.min(
-                    jnp.where(cand_d == m, lane, big), axis=1, keepdims=True
-                )  # (QB, 1)
-                onehot = lane == pos
-                sel_i = jnp.sum(
-                    jnp.where(onehot, cand_i, 0), axis=1, keepdims=True
-                )  # (QB, 1)
-                cand_d = jnp.where(onehot, jnp.inf, cand_d)
-                ds.append(m)
-                inds.append(sel_i)
-            if _KB > k:
-                ds.append(jnp.full((qb, _KB - k), jnp.inf, jnp.float32))
-                inds.append(jnp.zeros((qb, _KB - k), jnp.int32))
-            return (
-                jnp.concatenate(ds, axis=1),
-                jnp.concatenate(inds, axis=1).astype(jnp.int32),
-            )
-
-        best_d, best_i = lax.cond(visit, merge, lambda c: c, (best_d, best_i))
-        theta_all = jnp.sum(
-            jnp.where(lane_kb == k - 1, best_d, 0.0), axis=1, keepdims=True
-        )
-        theta_max = jnp.max(theta_all)
-        return step + 1, theta_max, best_d, best_i
-
-    init = (
-        jnp.int32(0),
-        jnp.float32(jnp.inf),
-        jnp.full((qb, _KB), jnp.inf, dtype=jnp.float32),
-        jnp.zeros((qb, _KB), dtype=jnp.int32),
-    )
-    _, _, best_d, best_i = lax.while_loop(cond, body, init)
-    idx_ref[0] = best_i
-    d2_ref[0] = best_d
-
-
-def _knn_kernel_hbm(
-    order_ref,  # SMEM (B, n_blocks, n_tiles) int32: per-block tile visit order
-    boxd_ref,  # SMEM (B, n_blocks, n_tiles) f32: box-to-box lb, ascending
-    q_ref,  # (1, QB, 3) queries (sorted order), VMEM
-    s_ref,  # (B, 4, N_pad) full support in HBM/ANY — tiles DMA'd on demand
-    bbox_ref,  # (1, n_tiles, 8) VMEM
-    idx_ref,  # out (1, QB, 128) int32
-    d2_ref,  # out (1, QB, 128) f32
-    best_d_ref,  # scratch VMEM (QB, 128)
-    best_i_ref,  # scratch VMEM (QB, 128)
-    s_tile_ref,  # scratch VMEM (4, TS) — the visiting support tile
-    dma_sem,  # DMA semaphore
-    *,
-    k: int,
-    ts: int,
-    n_tiles: int,
-):
-    """Large-N variant: support stays in HBM; a tile is DMA'd into VMEM only
-    when it survives the bbox cull (culled tiles cost zero HBM traffic).
-    Same results as the VMEM kernel."""
-    qb = q_ref.shape[1]
-    q = q_ref[0]
-    iota3 = lax.broadcasted_iota(jnp.int32, (qb, 3), 1)
-    qx = _lane_select(q, iota3, 0)
-    qy = _lane_select(q, iota3, 1)
-    qz = _lane_select(q, iota3, 2)
-    bi = pl.program_id(0)
-    qi = pl.program_id(1)
-
-    lane = lax.broadcasted_iota(jnp.int32, (qb, _KB + ts), 1)
-    cand_tail = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
-    lane_kb = lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
-    iota8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    lane_nt = lax.broadcasted_iota(jnp.int32, (1, n_tiles), 1)
 
     best_d_ref[:] = jnp.full((qb, _KB), jnp.inf, jnp.float32)
     best_i_ref[:] = jnp.zeros((qb, _KB), jnp.int32)
 
+    # per-tile bound rows (1, n_tiles) — coordinate-major bbox layout
+    tlo = [bbox_ref[0, d : d + 1, :] for d in range(3)]
+    thi = [bbox_ref[0, 3 + d : 4 + d, :] for d in range(3)]
+
+    # box-to-box lower bounds from this query block to every support tile,
+    # plus a centre-to-centre distance used ONLY to order exact ties (many
+    # overlapping boxes have lb == 0; visiting the spatially nearest one
+    # first warms the thresholds fastest — measured ~20% fewer extraction
+    # passes). The early-exit test below always uses the TRUE lower bound,
+    # so the perturbed visiting order cannot affect exactness.
+    lb = jnp.zeros((1, n_tiles), jnp.float32)
+    cd2 = jnp.zeros((1, n_tiles), jnp.float32)
+    for d, qc in enumerate((qx, qy, qz)):
+        q_lo = jnp.min(qc)
+        q_hi = jnp.max(qc)
+        gap = jnp.maximum(tlo[d] - q_hi, 0.0) + jnp.maximum(
+            q_lo - thi[d], 0.0
+        )
+        lb = lb + gap * gap
+        cmid = (tlo[d] + thi[d]) * 0.5 - (q_lo + q_hi) * 0.5
+        cd2 = cd2 + cmid * cmid
+    lbvec_ref[:] = lb
+    ord_bias = cd2 * 1e-6
+
     def cond(carry):
-        step, theta_max = carry
-        in_range = step < n_tiles
-        safe_step = jnp.minimum(step, n_tiles - 1)
-        next_lb = boxd_ref[bi, qi, safe_step]
-        return in_range & (next_lb < theta_max)
+        # nearest-box-first traversal: once the next tile's bound exceeds
+        # the WORST k-th-best in the block, every later tile's does too ->
+        # exact early exit. next_m is +inf when all tiles are visited.
+        next_m, theta_max = carry
+        return next_m < theta_max
 
     def body(carry):
-        step, _theta_max = carry
-        # visit tiles nearest-box-first (order prefetched into SMEM)
-        t = order_ref[bi, qi, step]
+        next_m, _theta_max = carry
+        # nearest unvisited tile (masked argmin over the tie-broken bounds)
+        lbv = lbvec_ref[:]
+        ordv = lbv + ord_bias
+        m_ord = jnp.min(ordv)
+        t = jnp.min(
+            jnp.where(ordv == m_ord, lane_nt, jnp.int32(n_tiles))
+        )  # scalar
+        lbvec_ref[:] = jnp.where(lane_nt == t, jnp.inf, lbv)
 
-        bb = bbox_ref[0, pl.ds(t, 1), :]
-        lb = jnp.zeros((qb, 1), jnp.float32)
-        for d, qc in enumerate((qx, qy, qz)):
-            lo = _lane_select(bb, iota8, d)
-            hi = _lane_select(bb, iota8, 3 + d)
-            delta = jnp.maximum(lo - qc, 0.0) + jnp.maximum(qc - hi, 0.0)
-            lb = lb + delta * delta
-        best_d = best_d_ref[:]
+        # per-query bbox lower-bound cull (tighter than the block bound).
+        # Tile bounds stay (1, 1) vectors — every vector->scalar reduction
+        # costs a ~µs scalar-core sync, and this loop body is sync-bound.
         theta = jnp.sum(
-            jnp.where(lane_kb == k - 1, best_d, 0.0), axis=1, keepdims=True
-        )
-        visit = jnp.any(lb < theta)
+            jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
+            axis=1,
+            keepdims=True,
+        )  # k-th best per query (lane k-1 of the sorted buffer)
+        sel_t = lane_nt == t
+        lbq = jnp.zeros((qb, 1), jnp.float32)
+        for d, qc in enumerate((qx, qy, qz)):
+            lo = jnp.sum(jnp.where(sel_t, tlo[d], 0.0), axis=1, keepdims=True)
+            hi = jnp.sum(jnp.where(sel_t, thi[d], 0.0), axis=1, keepdims=True)
+            delta = jnp.maximum(lo - qc, 0.0) + jnp.maximum(qc - hi, 0.0)
+            lbq = lbq + delta * delta
+        visit = jnp.any(lbq < theta)
 
         @pl.when(visit)
         def _():
-            dma = pltpu.make_async_copy(
-                s_ref.at[pl.program_id(0), :, pl.ds(t * ts, ts)],
-                s_tile_ref,
-                dma_sem,
-            )
-            dma.start()
-            dma.wait()
-            sx = s_tile_ref[0:1, :]
-            sy = s_tile_ref[1:2, :]
-            sz = s_tile_ref[2:3, :]
-            d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
-            cand_d = jnp.concatenate([best_d_ref[:], d2], axis=1)
-            cand_i = jnp.concatenate(
-                [best_i_ref[:], cand_tail + t * ts], axis=1
-            )
-            ds, inds = [], []
-            big = jnp.int32(_KB + ts)
-            for _j in range(k):
-                m = jnp.min(cand_d, axis=1, keepdims=True)
+            if hbm:
+                dma = pltpu.make_async_copy(
+                    s_ref.at[bi, :, pl.ds(t * ts, ts)], s_tile_ref, dma_sem
+                )
+                dma.start()
+                dma.wait()
+                sx = s_tile_ref[0:1, :]
+                sy = s_tile_ref[1:2, :]
+                sz = s_tile_ref[2:3, :]
+            else:
+                sx = s_ref[0, 0:1, pl.ds(t * ts, ts)]  # (1, TS)
+                sy = s_ref[0, 1:2, pl.ds(t * ts, ts)]
+                sz = s_ref[0, 2:3, pl.ds(t * ts, ts)]
+            # squared distances via broadcast (contraction dim is only 3, so
+            # explicit FMA beats a degenerate MXU matmul)
+            d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2  # (QB, TS)
+            tile_d2_ref[:] = d2
+
+            # extraction-insertion merge: extract the tile's minima in
+            # ascending order and insert each directly into the sorted best
+            # buffer (one lane-shift — a handful of (QB, 128) ops, instead
+            # of a k-pass wide merge). Passes are READ-ONLY over the tile:
+            # already-extracted candidates are excluded by a (value, lane)
+            # lexicographic comparison instead of rewriting the (QB, TS)
+            # buffer with +inf — halves the VMEM traffic per pass. The loop
+            # re-reads the k-th-best threshold every pass, so it stops as
+            # soon as the next tile minimum cannot enter any query's top-k
+            # (exact: tile minima ascend, thresholds only tighten).
+            big = jnp.int32(ts)
+
+            def ext_cond(c):
+                j, go, _m, _pos = c
+                return go & (j < k)
+
+            def ext_body(c):
+                j, _go, m_prev, pos_prev = c
+                d2m = tile_d2_ref[:]
+                elig = (d2m > m_prev) | (
+                    (d2m == m_prev) & (lane_ts > pos_prev)
+                )
+                d2e = jnp.where(elig, d2m, jnp.inf)
+                m = jnp.min(d2e, axis=1, keepdims=True)  # (QB, 1)
                 pos = jnp.min(
-                    jnp.where(cand_d == m, lane, big), axis=1, keepdims=True
+                    jnp.where(d2e == m, lane_ts, big), axis=1, keepdims=True
+                )  # (QB, 1) first-occurrence argmin via iota-min
+                th = jnp.sum(
+                    jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
+                    axis=1,
+                    keepdims=True,
                 )
-                onehot = lane == pos
-                sel_i = jnp.sum(
-                    jnp.where(onehot, cand_i, 0), axis=1, keepdims=True
+                # sorted insertion; rows with m >= their k-th best insert
+                # past lane k-1 (junk region) — a natural no-op
+                best_d = best_d_ref[:]
+                best_i = best_i_ref[:]
+                ipos = jnp.min(
+                    jnp.where(best_d > m, lane_kb, jnp.int32(_KB)),
+                    axis=1,
+                    keepdims=True,
                 )
-                cand_d = jnp.where(onehot, jnp.inf, cand_d)
-                ds.append(m)
-                inds.append(sel_i)
-            if _KB > k:
-                ds.append(jnp.full((qb, _KB - k), jnp.inf, jnp.float32))
-                inds.append(jnp.zeros((qb, _KB - k), jnp.int32))
-            best_d_ref[:] = jnp.concatenate(ds, axis=1)
-            best_i_ref[:] = jnp.concatenate(inds, axis=1).astype(jnp.int32)
+                shifted_d = jnp.concatenate([m, best_d], axis=1)[:, :_KB]
+                shifted_i = jnp.concatenate(
+                    [pos * 0, best_i], axis=1
+                )[:, :_KB]
+                sel = pos + t * ts
+                keep = lane_kb < ipos
+                put = lane_kb == ipos
+                best_d_ref[:] = jnp.where(
+                    keep, best_d, jnp.where(put, m, shifted_d)
+                )
+                best_i_ref[:] = jnp.where(
+                    keep, best_i, jnp.where(put, sel, shifted_i)
+                )
+                return j + 1, jnp.any(m < th), m, pos
+
+            lax.while_loop(
+                ext_cond,
+                ext_body,
+                (
+                    jnp.int32(0),
+                    jnp.bool_(True),
+                    jnp.full((qb, 1), -jnp.inf, jnp.float32),
+                    jnp.full((qb, 1), -1, jnp.int32),
+                ),
+            )
 
         theta_all = jnp.sum(
             jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
             axis=1,
             keepdims=True,
         )
-        return step + 1, jnp.max(theta_all)
+        return jnp.min(lbvec_ref[:]), jnp.max(theta_all)
 
-    lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(jnp.inf)))
+    lax.while_loop(
+        cond, body, (jnp.min(lbvec_ref[:]), jnp.float32(jnp.inf))
+    )
     idx_ref[0] = best_i_ref[:]
     d2_ref[0] = best_d_ref[:]
+
+
+def _argmin_kernel(
+    q_ref,  # (1, QB, 3) queries (sorted order), VMEM
+    s_ref,  # (1, 4, N_pad) support, coordinate-major, VMEM
+    bbox_ref,  # (1, 8, n_tiles) per-tile [min xyz | max xyz | pad pad] rows
+    idx_ref,  # out (1, QB, 128) int32 (lane 0 valid)
+    d2_ref,  # out (1, QB, 128) f32 (lane 0 valid)
+    *,
+    ts: int,
+    n_tiles: int,
+):
+    """Streaming exact 1-NN: the nearest tile (by box bound) seeds the
+    running minimum, then a STATIC unrolled sweep over all tiles updates it,
+    with each tile predicated out when no query's box lower bound beats its
+    current best. No while loop, no per-tile scalar extraction — the only
+    vector->scalar syncs are the one seed-tile argmin and the per-tile
+    ``visit`` predicates, so the kernel is pure VPU streaming."""
+    qb = q_ref.shape[1]
+    q = q_ref[0]
+    iota3 = lax.broadcasted_iota(jnp.int32, (qb, 3), 1)
+    qx = _lane_select(q, iota3, 0)
+    qy = _lane_select(q, iota3, 1)
+    qz = _lane_select(q, iota3, 2)
+    lane_ts = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
+    lane_nt = lax.broadcasted_iota(jnp.int32, (1, n_tiles), 1)
+
+    tlo = [bbox_ref[0, d : d + 1, :] for d in range(3)]
+    thi = [bbox_ref[0, 3 + d : 4 + d, :] for d in range(3)]
+
+    # nearest tile by box-to-box bound (centre-distance tie-break)
+    lb = jnp.zeros((1, n_tiles), jnp.float32)
+    cd2 = jnp.zeros((1, n_tiles), jnp.float32)
+    for d, qc in enumerate((qx, qy, qz)):
+        q_lo = jnp.min(qc)
+        q_hi = jnp.max(qc)
+        gap = jnp.maximum(tlo[d] - q_hi, 0.0) + jnp.maximum(
+            q_lo - thi[d], 0.0
+        )
+        lb = lb + gap * gap
+        cmid = (tlo[d] + thi[d]) * 0.5 - (q_lo + q_hi) * 0.5
+        cd2 = cd2 + cmid * cmid
+    ordv = lb + cd2 * 1e-6
+    m_ord = jnp.min(ordv)
+    t0 = jnp.min(jnp.where(ordv == m_ord, lane_nt, jnp.int32(n_tiles)))
+
+    def tile_d2(t):
+        sx = s_ref[0, 0:1, pl.ds(t * ts, ts)]
+        sy = s_ref[0, 1:2, pl.ds(t * ts, ts)]
+        sz = s_ref[0, 2:3, pl.ds(t * ts, ts)]
+        return (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+
+    big = jnp.int32(ts)
+    d2 = tile_d2(t0)
+    best_d = jnp.min(d2, axis=1, keepdims=True)
+    best_i = (
+        jnp.min(jnp.where(d2 == best_d, lane_ts, big), axis=1, keepdims=True)
+        + t0 * ts
+    )
+
+    for t in range(n_tiles):
+        lbq = jnp.zeros((qb, 1), jnp.float32)
+        for d, qc in enumerate((qx, qy, qz)):
+            lo = tlo[d][:, t : t + 1]  # (1, 1) static slice
+            hi = thi[d][:, t : t + 1]
+            delta = jnp.maximum(lo - qc, 0.0) + jnp.maximum(qc - hi, 0.0)
+            lbq = lbq + delta * delta
+        visit = jnp.any(lbq < best_d) & (t != t0)
+
+        def merge(c, t=t):
+            bd, bi = c
+            d2 = tile_d2(t)
+            m = jnp.min(d2, axis=1, keepdims=True)
+            p = (
+                jnp.min(
+                    jnp.where(d2 == m, lane_ts, big), axis=1, keepdims=True
+                )
+                + t * ts
+            )
+            upd = m < bd
+            return jnp.where(upd, m, bd), jnp.where(upd, p, bi)
+
+        best_d, best_i = lax.cond(visit, merge, lambda c: c, (best_d, best_i))
+
+    idx_ref[0] = jnp.broadcast_to(best_i, (qb, _KB))
+    d2_ref[0] = jnp.broadcast_to(best_d, (qb, _KB))
+
+
+def _argmin_pallas_sorted(
+    support: jax.Array, query: jax.Array, qb: int, ts: int, interpret: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """1-NN on Morton-sorted inputs (shapes padded as in _knn_pallas_sorted)."""
+    B, n_pad, _ = support.shape
+    m_pad = query.shape[1]
+    n_tiles = n_pad // ts
+
+    tiles = support.reshape(B, n_tiles, ts, 3)
+    bbox = jnp.concatenate(
+        [
+            jnp.swapaxes(jnp.min(tiles, axis=2), 1, 2),
+            jnp.swapaxes(jnp.max(tiles, axis=2), 1, 2),
+            jnp.zeros((B, 2, n_tiles), support.dtype),
+        ],
+        axis=1,
+    )  # (B, 8, n_tiles)
+    support_t = jnp.swapaxes(support, 1, 2)
+    support_t = jnp.concatenate(
+        [support_t, jnp.zeros((B, 1, n_pad), support_t.dtype)], axis=1
+    )
+
+    idx, d2 = pl.pallas_call(
+        functools.partial(_argmin_kernel, ts=ts, n_tiles=n_tiles),
+        grid=(B, m_pad // qb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 4, n_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, n_tiles),
+                lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.int32),
+            jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.float32),
+        ],
+        interpret=interpret,
+    )(query, support_t, bbox)
+    return idx[..., :1], jnp.maximum(d2[..., :1], 0.0)
+
+
+def argmin_pallas(
+    support: jax.Array,
+    query: jax.Array,
+    query_block: int = 512,
+    support_tile: int = 1024,
+    interpret: bool = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact 1-NN via the streaming argmin kernel — the decoder-upsampling
+    hot path (every fine point copies its nearest coarse point's features,
+    reference modules.py:343-364). Same contract as ops/knn.py functions
+    with k=1: (indices int32 (B, M, 1), squared distances f32 (B, M, 1))."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, n, _ = support.shape
+    m = query.shape[1]
+
+    ts = min(support_tile, _round_up(n, 128))
+    qb = min(query_block, _round_up(m, 8))
+
+    s_order = jnp.argsort(morton_codes(support), axis=1)
+    s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
+    q_order = jnp.argsort(morton_codes(query), axis=1)
+    q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
+
+    n_pad = _round_up(n, ts)
+    m_pad = _round_up(m, qb)
+    if n_pad != n:
+        s_sorted = jnp.concatenate(
+            [s_sorted, jnp.full((B, n_pad - n, 3), _SENTINEL, s_sorted.dtype)],
+            axis=1,
+        )
+    if m_pad != m:
+        q_sorted = jnp.concatenate(
+            [q_sorted, jnp.zeros((B, m_pad - m, 3), q_sorted.dtype)], axis=1
+        )
+
+    idx_sorted, d2_sorted = _argmin_pallas_sorted(
+        s_sorted, q_sorted, qb, ts, interpret
+    )
+    idx_sorted = idx_sorted[:, :m]
+    d2_sorted = d2_sorted[:, :m]
+
+    idx_orig = jax.vmap(lambda order, idx: order[idx])(s_order, idx_sorted)
+    inv_q = jnp.argsort(q_order, axis=1)
+    idx_out = jnp.take_along_axis(idx_orig, inv_q[..., None], axis=1)
+    d2_out = jnp.take_along_axis(d2_sorted, inv_q[..., None], axis=1)
+    return idx_out, d2_out
 
 
 # support arrays larger than this stay in HBM with on-demand tile DMA
@@ -319,24 +498,16 @@ def _knn_pallas_sorted(
     tiles = support.reshape(B, n_tiles, ts, 3)
     tile_lo = jnp.min(tiles, axis=2)  # (B, n_tiles, 3)
     tile_hi = jnp.max(tiles, axis=2)
+    # coordinate-major bbox rows: (B, 8, n_tiles) [min xyz | max xyz | pad]
     bbox = jnp.concatenate(
-        [tile_lo, tile_hi, jnp.zeros((B, n_tiles, 2), support.dtype)],
-        axis=-1,
-    )  # (B, n_tiles, 8)
+        [
+            jnp.swapaxes(tile_lo, 1, 2),
+            jnp.swapaxes(tile_hi, 1, 2),
+            jnp.zeros((B, 2, n_tiles), support.dtype),
+        ],
+        axis=1,
+    )
 
-    # per-query-block tile visit order by TRUE 3-D box-to-box distance
-    # (tightens the running threshold immediately; Morton adjacency alone is
-    # only a 1-D proxy). Computed in XLA, prefetched into SMEM.
-    n_blocks = m_pad // qb
-    q_blocks = query.reshape(B, n_blocks, qb, 3)
-    q_lo = jnp.min(q_blocks, axis=2)  # (B, n_blocks, 3)
-    q_hi = jnp.max(q_blocks, axis=2)
-    gap = jnp.maximum(
-        tile_lo[:, None, :, :] - q_hi[:, :, None, :], 0.0
-    ) + jnp.maximum(q_lo[:, :, None, :] - tile_hi[:, None, :, :], 0.0)
-    box_d2 = jnp.sum(gap * gap, axis=-1)  # (B, n_blocks, n_tiles)
-    visit_order = jnp.argsort(box_d2, axis=-1).astype(jnp.int32)
-    boxd_sorted = jnp.take_along_axis(box_d2, visit_order, axis=-1)
     # coordinate-major with the coord dim padded 3 -> 4 so DMA slices stay
     # sublane-tile aligned (mosaic requires dim -2 slices aligned to 4)
     support_t = jnp.swapaxes(support, 1, 2)  # (B, 3, N_pad)
@@ -345,77 +516,59 @@ def _knn_pallas_sorted(
     )  # (B, 4, N_pad)
 
     grid = (B, m_pad // qb)
-    hbm = n_pad * 3 * 4 > _VMEM_SUPPORT_LIMIT_BYTES
-    common_specs = dict(
-        q=pl.BlockSpec(
-            (1, qb, 3), lambda b, i, order, boxd: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        bbox=pl.BlockSpec(
-            (1, n_tiles, 8),
-            lambda b, i, order, boxd: (b, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    out_specs = [
-        pl.BlockSpec(
-            (1, qb, _KB), lambda b, i, order, boxd: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, qb, _KB), lambda b, i, order, boxd: (b, i, 0), memory_space=pltpu.VMEM
-        ),
+    hbm = n_pad * 3 * 4 > _VMEM_SUPPORT_LIMIT_BYTES and not interpret
+    common_scratch = [
+        pltpu.VMEM((qb, _KB), jnp.float32),  # best_d
+        pltpu.VMEM((qb, _KB), jnp.int32),  # best_i
+        pltpu.VMEM((qb, ts), jnp.float32),  # tile_d2
+        pltpu.VMEM((1, n_tiles), jnp.float32),  # lbvec
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.int32),
-        jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.float32),
-    ]
-    if hbm and not interpret:
-        kernel = functools.partial(
-            _knn_kernel_hbm, k=k, ts=ts, n_tiles=n_tiles
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                common_specs["q"],
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                common_specs["bbox"],
-            ],
-            out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((qb, _KB), jnp.float32),
-                pltpu.VMEM((qb, _KB), jnp.int32),
-                pltpu.VMEM((4, ts), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-        )
-        idx, d2 = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(visit_order, boxd_sorted, query, support_t, bbox)
+    if hbm:
+        support_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = common_scratch + [
+            pltpu.VMEM((4, ts), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
     else:
-        kernel = functools.partial(_knn_kernel, k=k, ts=ts, n_tiles=n_tiles)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                common_specs["q"],
-                pl.BlockSpec(
-                    (1, 4, n_pad),
-                    lambda b, i, order, boxd: (b, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                common_specs["bbox"],
-            ],
-            out_specs=out_specs,
+        support_spec = pl.BlockSpec(
+            (1, 4, n_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        idx, d2 = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(visit_order, boxd_sorted, query, support_t, bbox)
+        scratch = common_scratch
+
+    def kernel(*refs):
+        if not hbm:
+            refs = refs + (None, None)  # no s_tile_ref / dma_sem
+        _knn_kernel(*refs, k=k, ts=ts, n_tiles=n_tiles, hbm=hbm)
+
+    idx, d2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            support_spec,
+            pl.BlockSpec(
+                (1, 8, n_tiles),
+                lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.int32),
+            jax.ShapeDtypeStruct((B, m_pad, _KB), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(query, support_t, bbox)
     return idx[..., :k], jnp.maximum(d2[..., :k], 0.0)
 
 

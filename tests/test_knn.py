@@ -11,6 +11,7 @@ from recognizer3d_tpu.ops.knn import (
     gather_neighbors,
     knn,
     knn_approximate,
+    knn_argmin,
     knn_naive,
     knn_tiled,
 )
@@ -133,6 +134,45 @@ class TestKnnPallas:
         s = jnp.asarray(pts[None])
         i, d = knn_pallas(s, s, 16, interpret=True)
         _assert_matches_oracle(i, d, s, s, 16)
+
+    @pytest.mark.parametrize("B,N,M", [(1, 700, 1500), (2, 1100, 300)])
+    def test_argmin_pallas_matches_oracle(self, B, N, M):
+        from recognizer3d_tpu.ops.knn_pallas import argmin_pallas
+
+        rng = np.random.RandomState(7)
+        s = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
+        i, d = argmin_pallas(s, q, interpret=True)
+        io, do = knn_argmin(s, q)
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(do), atol=1e-5, rtol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
+    def test_argmin_pallas_clustered(self):
+        """Clustered data (the culling fast path) stays exact. Oracle in
+        float64 — the XLA matmul expansion's f32 cancellation noise at
+        coordinate magnitude ~5 exceeds the kernel's own error."""
+        from recognizer3d_tpu.ops.knn_pallas import argmin_pallas
+
+        rng = np.random.RandomState(8)
+        centers = rng.rand(6, 3) * 5
+        s_np = (
+            centers[rng.randint(0, 6, 900)] + rng.randn(900, 3) * 0.03
+        ).astype(np.float32)
+        q_np = (
+            centers[rng.randint(0, 6, 1300)] + rng.randn(1300, 3) * 0.03
+        ).astype(np.float32)
+        i, d = argmin_pallas(
+            jnp.asarray(s_np[None]), jnp.asarray(q_np[None]), interpret=True
+        )
+        d2_exact = (
+            (q_np.astype(np.float64)[:, None, :] - s_np[None].astype(np.float64))
+            ** 2
+        ).sum(-1)
+        np.testing.assert_allclose(
+            np.asarray(d)[0, :, 0], d2_exact.min(axis=1), atol=1e-6, rtol=1e-5
+        )
 
     def test_morton_codes_locality(self):
         xyz = jnp.asarray(np.random.RandomState(0).rand(1, 256, 3).astype(np.float32))
