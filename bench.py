@@ -41,19 +41,6 @@ def _median_time(fn, iters=10, warmup=2):
     return float(np.median(times))
 
 
-def _amortized_time(fn_dispatch, readback, iters=20):
-    """Amortized per-call device time: dispatch ``iters`` calls then force one
-    readback — hides the per-call relay RTT that a production host would not
-    pay, exposing true device throughput."""
-    out = fn_dispatch()
-    readback(out)
-    t = time.perf_counter()
-    outs = [fn_dispatch() for _ in range(iters)]
-    for o in outs:
-        readback(o)
-    return (time.perf_counter() - t) / iters
-
-
 def _device_time(make_fn, args, iters=10):
     """True device time per call: run ``iters`` chained iterations inside ONE
     jitted program (each iteration's input is perturbed by the carry so

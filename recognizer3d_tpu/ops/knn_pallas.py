@@ -372,14 +372,13 @@ def _argmin_kernel(
     d2_ref[0] = jnp.broadcast_to(best_d, (qb, _KB))
 
 
-def _argmin_pallas_sorted(
-    support: jax.Array, query: jax.Array, qb: int, ts: int, interpret: bool
-) -> Tuple[jax.Array, jax.Array]:
-    """1-NN on Morton-sorted inputs (shapes padded as in _knn_pallas_sorted)."""
+def _tile_prep(support: jax.Array, ts: int):
+    """Per-tile bbox rows (B, 8, n_tiles) [min xyz | max xyz | pad] and the
+    coordinate-major support (B, 4, N_pad) — the coord dim is padded 3 -> 4
+    so DMA slices stay sublane-tile aligned (mosaic requires dim -2 slices
+    aligned to 4). Shared by both pallas kernels."""
     B, n_pad, _ = support.shape
-    m_pad = query.shape[1]
     n_tiles = n_pad // ts
-
     tiles = support.reshape(B, n_tiles, ts, 3)
     bbox = jnp.concatenate(
         [
@@ -388,11 +387,21 @@ def _argmin_pallas_sorted(
             jnp.zeros((B, 2, n_tiles), support.dtype),
         ],
         axis=1,
-    )  # (B, 8, n_tiles)
+    )
     support_t = jnp.swapaxes(support, 1, 2)
     support_t = jnp.concatenate(
         [support_t, jnp.zeros((B, 1, n_pad), support_t.dtype)], axis=1
     )
+    return bbox, support_t, n_tiles
+
+
+def _argmin_pallas_sorted(
+    support: jax.Array, query: jax.Array, qb: int, ts: int, interpret: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """1-NN on Morton-sorted inputs (shapes padded as in _knn_pallas_sorted)."""
+    B, n_pad, _ = support.shape
+    m_pad = query.shape[1]
+    bbox, support_t, n_tiles = _tile_prep(support, ts)
 
     idx, d2 = pl.pallas_call(
         functools.partial(_argmin_kernel, ts=ts, n_tiles=n_tiles),
@@ -427,6 +436,11 @@ def _argmin_pallas_sorted(
     return idx[..., :1], jnp.maximum(d2[..., :1], 0.0)
 
 
+# the argmin kernel maps the whole support block into VMEM: beyond this
+# size, run it per support chunk and combine the running minima (exact)
+_ARGMIN_MAX_SUPPORT = 65536
+
+
 def argmin_pallas(
     support: jax.Array,
     query: jax.Array,
@@ -437,43 +451,42 @@ def argmin_pallas(
     """Exact 1-NN via the streaming argmin kernel — the decoder-upsampling
     hot path (every fine point copies its nearest coarse point's features,
     reference modules.py:343-364). Same contract as ops/knn.py functions
-    with k=1: (indices int32 (B, M, 1), squared distances f32 (B, M, 1))."""
+    with k=1: (indices int32 (B, M, 1), squared distances f32 (B, M, 1)).
+
+    Support clouds beyond ``_ARGMIN_MAX_SUPPORT`` points (the kernel keeps
+    the whole support resident in VMEM) are processed in chunks whose
+    per-chunk minima are combined — still exact."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     B, n, _ = support.shape
     m = query.shape[1]
 
+    if n > _ARGMIN_MAX_SUPPORT:
+        best_d = best_i = None
+        for lo in range(0, n, _ARGMIN_MAX_SUPPORT):
+            chunk = support[:, lo : lo + _ARGMIN_MAX_SUPPORT]
+            ci, cd = argmin_pallas(
+                chunk, query, query_block, support_tile, interpret
+            )
+            ci = ci + lo
+            if best_d is None:
+                best_d, best_i = cd, ci
+            else:
+                take = cd < best_d
+                best_d = jnp.where(take, cd, best_d)
+                best_i = jnp.where(take, ci, best_i)
+        return best_i, best_d
+
     ts = min(support_tile, _round_up(n, 128))
     qb = min(query_block, _round_up(m, 8))
 
-    s_order = jnp.argsort(morton_codes(support), axis=1)
-    s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
-    q_order = jnp.argsort(morton_codes(query), axis=1)
-    q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
-
-    n_pad = _round_up(n, ts)
-    m_pad = _round_up(m, qb)
-    if n_pad != n:
-        s_sorted = jnp.concatenate(
-            [s_sorted, jnp.full((B, n_pad - n, 3), _SENTINEL, s_sorted.dtype)],
-            axis=1,
-        )
-    if m_pad != m:
-        q_sorted = jnp.concatenate(
-            [q_sorted, jnp.zeros((B, m_pad - m, 3), q_sorted.dtype)], axis=1
-        )
-
+    s_sorted, q_sorted, s_order, q_order = _morton_prepare(
+        support, query, qb, ts
+    )
     idx_sorted, d2_sorted = _argmin_pallas_sorted(
         s_sorted, q_sorted, qb, ts, interpret
     )
-    idx_sorted = idx_sorted[:, :m]
-    d2_sorted = d2_sorted[:, :m]
-
-    idx_orig = jax.vmap(lambda order, idx: order[idx])(s_order, idx_sorted)
-    inv_q = jnp.argsort(q_order, axis=1)
-    idx_out = jnp.take_along_axis(idx_orig, inv_q[..., None], axis=1)
-    d2_out = jnp.take_along_axis(d2_sorted, inv_q[..., None], axis=1)
-    return idx_out, d2_out
+    return _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m)
 
 
 # support arrays larger than this stay in HBM with on-demand tile DMA
@@ -493,27 +506,7 @@ def _knn_pallas_sorted(
     M_pad % qb == 0."""
     B, n_pad, _ = support.shape
     m_pad = query.shape[1]
-    n_tiles = n_pad // ts
-
-    tiles = support.reshape(B, n_tiles, ts, 3)
-    tile_lo = jnp.min(tiles, axis=2)  # (B, n_tiles, 3)
-    tile_hi = jnp.max(tiles, axis=2)
-    # coordinate-major bbox rows: (B, 8, n_tiles) [min xyz | max xyz | pad]
-    bbox = jnp.concatenate(
-        [
-            jnp.swapaxes(tile_lo, 1, 2),
-            jnp.swapaxes(tile_hi, 1, 2),
-            jnp.zeros((B, 2, n_tiles), support.dtype),
-        ],
-        axis=1,
-    )
-
-    # coordinate-major with the coord dim padded 3 -> 4 so DMA slices stay
-    # sublane-tile aligned (mosaic requires dim -2 slices aligned to 4)
-    support_t = jnp.swapaxes(support, 1, 2)  # (B, 3, N_pad)
-    support_t = jnp.concatenate(
-        [support_t, jnp.zeros((B, 1, n_pad), support_t.dtype)], axis=1
-    )  # (B, 4, N_pad)
+    bbox, support_t, n_tiles = _tile_prep(support, ts)
 
     grid = (B, m_pad // qb)
     hbm = n_pad * 3 * 4 > _VMEM_SUPPORT_LIMIT_BYTES and not interpret
@@ -572,6 +565,59 @@ def _knn_pallas_sorted(
     return idx[..., :k], jnp.maximum(d2[..., :k], 0.0)
 
 
+def _morton_prepare(support, query, qb, ts):
+    """Shared sort/pad preparation for the pallas KNN kernels.
+
+    Morton-sorts both clouds, pads the support to a tile multiple with
+    far-away sentinels and the query to a block multiple by REPLICATING the
+    last real query (zero-padding would inflate the final block's bounding
+    box toward the origin and defeat tile culling for that block).
+    Returns (s_sorted, q_sorted, s_order, q_order)."""
+    B = support.shape[0]
+    n, m = support.shape[1], query.shape[1]
+    s_order = jnp.argsort(morton_codes(support), axis=1)  # (B, N)
+    s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
+    if support is query:  # self-KNN shares the sort
+        q_order, q_sorted = s_order, s_sorted
+    else:
+        q_order = jnp.argsort(morton_codes(query), axis=1)
+        q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
+
+    n_pad = _round_up(n, ts)
+    m_pad = _round_up(m, qb)
+    if n_pad != n:
+        s_sorted = jnp.concatenate(
+            [
+                s_sorted,
+                jnp.full((B, n_pad - n, 3), _SENTINEL, s_sorted.dtype),
+            ],
+            axis=1,
+        )
+    if m_pad != m:
+        q_sorted = jnp.concatenate(
+            [
+                q_sorted,
+                jnp.broadcast_to(
+                    q_sorted[:, -1:], (B, m_pad - m, 3)
+                ),
+            ],
+            axis=1,
+        )
+    return s_sorted, q_sorted, s_order, q_order
+
+
+def _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m):
+    """Map sorted-support indices back to original ids and un-sort the
+    query dimension (shared tail of the pallas KNN wrappers)."""
+    idx_sorted = idx_sorted[:, :m]
+    d2_sorted = d2_sorted[:, :m]
+    idx_orig = jax.vmap(lambda order, idx: order[idx])(s_order, idx_sorted)
+    inv_q = jnp.argsort(q_order, axis=1)
+    idx_out = jnp.take_along_axis(idx_orig, inv_q[..., None], axis=1)
+    d2_out = jnp.take_along_axis(d2_sorted, inv_q[..., None], axis=1)
+    return idx_out, d2_out
+
+
 def knn_pallas(
     support: jax.Array,
     query: jax.Array,
@@ -604,42 +650,10 @@ def knn_pallas(
     ts = min(support_tile, _round_up(n, 128))
     qb = min(query_block, _round_up(m, 8))
 
-    # Morton-sort support and queries (XLA side, cheap)
-    s_order = jnp.argsort(morton_codes(support), axis=1)  # (B, N)
-    s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
-    same = support is query
-    if same:
-        q_order, q_sorted = s_order, s_sorted
-    else:
-        q_order = jnp.argsort(morton_codes(query), axis=1)
-        q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
-
-    # pad to tile multiples with far-away sentinels
-    n_pad = _round_up(n, ts)
-    m_pad = _round_up(m, qb)
-    if n_pad != n:
-        s_sorted = jnp.concatenate(
-            [
-                s_sorted,
-                jnp.full((B, n_pad - n, 3), _SENTINEL, s_sorted.dtype),
-            ],
-            axis=1,
-        )
-    if m_pad != m:
-        q_sorted = jnp.concatenate(
-            [q_sorted, jnp.zeros((B, m_pad - m, 3), q_sorted.dtype)], axis=1
-        )
-
+    s_sorted, q_sorted, s_order, q_order = _morton_prepare(
+        support, query, qb, ts
+    )
     idx_sorted, d2_sorted = _knn_pallas_sorted(
         s_sorted, q_sorted, k, qb, ts, interpret
     )
-    idx_sorted = idx_sorted[:, :m]
-    d2_sorted = d2_sorted[:, :m]
-
-    # map sorted-support indices back to original ids
-    idx_orig = jax.vmap(lambda order, idx: order[idx])(s_order, idx_sorted)
-    # un-sort the query dimension
-    inv_q = jnp.argsort(q_order, axis=1)
-    idx_out = jnp.take_along_axis(idx_orig, inv_q[..., None], axis=1)
-    d2_out = jnp.take_along_axis(d2_sorted, inv_q[..., None], axis=1)
-    return idx_out, d2_out
+    return _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m)

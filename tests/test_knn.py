@@ -149,6 +149,21 @@ class TestKnnPallas:
         )
         np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
 
+    def test_argmin_pallas_chunked_support(self, monkeypatch):
+        """Supports beyond the VMEM cap run per-chunk with exact combining."""
+        import recognizer3d_tpu.ops.knn_pallas as kp
+
+        monkeypatch.setattr(kp, "_ARGMIN_MAX_SUPPORT", 256)
+        rng = np.random.RandomState(11)
+        s = jnp.asarray(rng.rand(1, 600, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 400, 3).astype(np.float32))
+        i, d = kp.argmin_pallas(s, q, interpret=True)
+        io, do = knn_argmin(s, q)
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(do), atol=1e-6, rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(io))
+
     def test_argmin_pallas_clustered(self):
         """Clustered data (the culling fast path) stays exact. Oracle in
         float64 — the XLA matmul expansion's f32 cancellation noise at
