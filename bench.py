@@ -134,6 +134,45 @@ def main():
         lambda: live.predict_depth(depth), iters=10, warmup=3
     )
 
+    # device time of the same fused live program (one dispatch per frame in
+    # production; the wall numbers above include the ~40-80 ms axon-relay
+    # RTT that a host driving the chip directly would not pay)
+    depth_j = jnp.asarray(depth)
+    key0_live = jax.random.PRNGKey(7)
+    perm_live = jnp.asarray(
+        rng.permutation(settings.n_points).astype(np.int32)
+    )
+
+    def live_step(c, variables, depth, key, perm, thr):
+        d = (depth.astype(jnp.float32) + c * 1e-9).astype(jnp.uint16)
+        pts, mask = live.program_fn(variables, d, key, perm, thr)
+        return jnp.float32(jnp.sum(mask)) + jnp.float32(jnp.max(pts))
+
+    live_device = _device_time(
+        live_step,
+        (model.variables, depth_j, key0_live, perm_live, jnp.float32(0.5)),
+        iters=10,
+    )
+
+    # device time of the full predict program (consistent subsample ->
+    # forward -> softmax -> full-cloud 1-NN upsample) on a real mock cloud
+    n_full = (len(cloud) // 8) * 8
+    cloud_j = jnp.asarray(cloud[None, :n_full].astype(np.float32))
+    sample_idx = jnp.asarray(
+        np.random.RandomState(0).choice(n_full, settings.n_points, False)
+        .astype(np.int32)
+    )
+
+    def predict_step(c, variables, full, sidx, perm):
+        conf = model._predict_full_fn(variables, full + c * 1e-12, sidx, perm)
+        return jnp.float32(jnp.max(conf))
+
+    predict_device = _device_time(
+        predict_step,
+        (model.variables, cloud_j, sample_idx, perm_live),
+        iters=10,
+    )
+
     xb = jnp.asarray(rng.randn(8, 2500, 3).astype(np.float32) * 0.2)
     permb = jnp.asarray(rng.permutation(2500).astype(np.int32))
 
@@ -204,7 +243,9 @@ def main():
         "device": str(device),
         "forward_64k_ms": t64 * 1000,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
+        "predict_device_ms_appconfig": predict_device * 1000,
         "live_depth_predict_p50_ms": live_p50 * 1000,
+        "live_depth_device_ms": live_device * 1000,
         "batch8_clouds_per_sec_appconfig": batch8_clouds_per_sec,
         "train_step_ms_appconfig_batch4": train_step_ms,
         "baseline_available": baseline_available,

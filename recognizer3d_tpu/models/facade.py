@@ -118,6 +118,7 @@ class Model:
         self._forward_jit = jax.jit(_forward)
         self._forward_softmax_jit = jax.jit(_forward_softmax)
         self._upsample_jit = jax.jit(_upsample_conf)
+        self._predict_full_fn = _predict_full  # un-jitted (benchmarks chain it)
         self._predict_full_jit = jax.jit(_predict_full)
 
     # ------------------------------------------------------------------

@@ -102,6 +102,7 @@ class LivePredictor:
             mask = (conf_up[:, 1] > threshold) & valid
             return pts, mask
 
+        self.program_fn = program  # un-jitted (benchmarks chain it)
         self._program = jax.jit(program)
         self._frame_counter = 0
         # warmup (jit compile — the reference's "first prediction is always

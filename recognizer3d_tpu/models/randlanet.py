@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from recognizer3d_tpu.models.settings import RandLANetSettings
-from recognizer3d_tpu.ops.knn import gather_neighbors, knn
+from recognizer3d_tpu.ops.knn import gather_neighbors, knn, knn_presorted
+from recognizer3d_tpu.ops.knn_pallas import invert_permutation, morton_order
+
+
+def _sort_rows(x: jax.Array, order: jax.Array) -> jax.Array:
+    """Reorder the point dimension of (B, N, C) by (B, N) ``order``."""
+    return jnp.take_along_axis(x, order[..., None], axis=1)
 
 # torch-style initialisation: kaiming_uniform(a=√5) on a 1×1 conv/linear
 # reduces to U(−1/√fan_in, 1/√fan_in) for both kernel and bias.
@@ -147,9 +153,27 @@ class LocalFeatureAggregation(nn.Module):
 
     @nn.compact
     def __call__(
-        self, xyz: jax.Array, features: jax.Array, train: bool = False
+        self,
+        xyz: jax.Array,
+        features: jax.Array,
+        train: bool = False,
+        order: Optional[jax.Array] = None,
+        inv_order: Optional[jax.Array] = None,
     ) -> jax.Array:
-        neighbors, d2 = knn(xyz, xyz, self.n_neighbors, self.knn_approach)
+        """When ``order``/``inv_order`` are given, ``xyz`` must already be in
+        that (Morton) order and the whole block runs in the sorted domain —
+        the KNN skips its index remap/unsort, and only ``features`` rows are
+        reordered at entry/exit (all the block's math is either pointwise or
+        a permutation-invariant reduction over batch/neighbours, so the
+        result is bit-identical up to distance ties). The output is returned
+        in the ORIGINAL feature order either way."""
+        if order is not None:
+            features = _sort_rows(features, order)
+            neighbors, d2 = knn_presorted(
+                xyz, xyz, self.n_neighbors, self.knn_approach
+            )
+        else:
+            neighbors, d2 = knn(xyz, xyz, self.n_neighbors, self.knn_approach)
         distances = jnp.sqrt(d2)
 
         half = self.n_out // 2
@@ -180,7 +204,10 @@ class LocalFeatureAggregation(nn.Module):
         # residual
         out = SharedMLP(2 * self.n_out, name="mlp2")(feats, train=train)
         shortcut = SharedMLP(2 * self.n_out, name="shortcut")(features, train=train)
-        return nn.leaky_relu(out + shortcut, negative_slope=0.01)
+        out = nn.leaky_relu(out + shortcut, negative_slope=0.01)
+        if inv_order is not None:
+            out = _sort_rows(out, inv_order)
+        return out
 
 
 def upsample_nni(
@@ -188,9 +215,18 @@ def upsample_nni(
     xyz: jax.Array,
     xyz_upsampled: jax.Array,
     knn_approach: str,
+    inv_fine: Optional[jax.Array] = None,
 ) -> jax.Array:
     """1-NN feature copy (modules.py:343-364): each upsampled point takes the
-    features of its nearest coarse point."""
+    features of its nearest coarse point.
+
+    With ``inv_fine`` given, ``xyz``/``xyz_upsampled`` are pre-Morton-sorted
+    and ``features`` rows follow ``xyz``'s sorted order; the result is
+    unsorted back to the original fine order via ``inv_fine``."""
+    if inv_fine is not None:
+        neighbors, _ = knn_presorted(xyz, xyz_upsampled, 1, knn_approach)
+        up = gather_neighbors(features, neighbors)[:, :, 0, :]
+        return _sort_rows(up, inv_fine)
     neighbors, _ = knn(xyz, xyz_upsampled, 1, knn_approach)
     return gather_neighbors(features, neighbors)[:, :, 0, :]
 
@@ -249,8 +285,23 @@ class RandLANet(nn.Module):
             ratio *= decimation
             level_sizes.append(N // ratio)
 
+        # per-level Morton orders, computed ONCE and shared by the encoder
+        # self-KNNs and the decoder 1-NN upsamplings (each level's point set
+        # is a prefix of the permuted cloud, so encoder and decoder see the
+        # same arrays). All neighbourhood searches then run in the sorted
+        # domain — the pallas kernels skip their index remap/unsort, which
+        # dominates their non-kernel cost at 64k points (see
+        # benchmarks/RESULTS.md).
+        orders, invs, xyz_levels = [], [], []
+        for n_level in level_sizes:
+            x_level = xyz[:, :n_level]
+            order = morton_order(x_level)
+            orders.append(order)
+            invs.append(invert_permutation(order))
+            xyz_levels.append(_sort_rows(x_level, order))
+
         # encoder (modules.py:582-589)
-        xyz_sampled, feats_sampled = xyz, feats
+        feats_sampled = feats
         skip_stack = []
         for i, n_out in enumerate(s.layer_sizes):
             feats = LocalFeatureAggregation(
@@ -258,10 +309,15 @@ class RandLANet(nn.Module):
                 s.n_neighbors,
                 s.knn,
                 name=f"encoder_{i}",
-            )(xyz_sampled, feats_sampled, train=train)
+            )(
+                xyz_levels[i],
+                feats_sampled,
+                train=train,
+                order=orders[i],
+                inv_order=invs[i],
+            )
             skip_stack.append(feats)
             # random sampling == prefix slice after the permutation
-            xyz_sampled = xyz[:, : level_sizes[i + 1]]
             feats_sampled = feats[:, : level_sizes[i + 1]]
 
         feats = SharedMLP(
@@ -273,9 +329,13 @@ class RandLANet(nn.Module):
         decoder_channels = [2 * n for n in n_outs] + [8]
         for i, n_out_ch in enumerate(decoder_channels):
             level = len(s.layer_sizes) - i  # current (coarse) level index
-            xyz_from = xyz[:, : level_sizes[level]]
-            xyz_to = xyz[:, : level_sizes[level - 1]]
-            upsampled = upsample_nni(feats, xyz_from, xyz_to, s.knn)
+            upsampled = upsample_nni(
+                _sort_rows(feats, orders[level]),
+                xyz_levels[level],
+                xyz_levels[level - 1],
+                s.knn,
+                inv_fine=invs[level - 1],
+            )
             feats = jnp.concatenate([upsampled, skip_stack.pop()], axis=-1)
             feats = SharedMLP(
                 n_out_ch,
@@ -284,8 +344,9 @@ class RandLANet(nn.Module):
                 name=f"decoder_{i}",
             )(feats, train=train)
 
-        # inverse permutation restores original point order (modules.py:607-608)
-        feats = feats[:, jnp.argsort(permutation)]
+        # inverse permutation restores original point order (modules.py:607-608);
+        # computed by scatter — an argsort here costs several ms at 64k points
+        feats = feats[:, invert_permutation(permutation)]
 
         # head (fc_end, modules.py:525-530)
         feats = SharedMLP(64, activation="relu", name="fc_end_0")(feats, train=train)

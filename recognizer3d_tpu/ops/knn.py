@@ -224,8 +224,124 @@ def knn_approximate(
     return idx, d2
 
 
+def knn_window(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    window_points: int = 4096,
+    query_block: int = 512,
+    block_group: int = 16,
+    recall_target: float = 0.95,
+    presorted: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Morton-window approximate KNN — the TPU-native analogue of the
+    reference's FAISS IVF-Flat search (knn.py:58-117: cluster the support,
+    probe the nprobe=2 nearest cells). Here the "cells" are windows of the
+    Morton space-filling curve: both clouds are Morton-sorted, each block of
+    ``query_block`` sorted queries searches only the ``window_points``
+    support points around its own relative position on the curve, and
+    ``lax.approx_min_k`` (the TPU's hardware-assisted partial reduction)
+    selects the k nearest candidates.
+
+    Work and memory are O(M · window_points) instead of the O(M · N) of
+    :func:`knn_approximate` — at 1M points that is a ~256× smaller search,
+    the same locality trade FAISS IVF makes (nprobe=2 probes ~800 of 1M
+    points; a 4096-point Morton window considers 5× more).
+
+    With ``presorted=True`` both inputs must already be Morton-sorted
+    (``ops/knn_pallas.morton_order``); indices are then into the given
+    support order and rows stay in the given query order."""
+    import numpy as np
+
+    from recognizer3d_tpu.ops.knn_pallas import (
+        _SENTINEL,
+        _unsort_results,
+        morton_order,
+    )
+
+    B, n, _ = support.shape
+    m = query.shape[1]
+    if n <= window_points:
+        # window covers everything -> plain approx_min_k over all support
+        return knn_approximate(support, query, k, recall_target)
+
+    if presorted:
+        s_sorted, q_sorted = support, query
+    else:
+        s_order = morton_order(support)
+        s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
+        if support is query:
+            q_order, q_sorted = s_order, s_sorted
+        else:
+            q_order = morton_order(query)
+            q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
+
+    qb = query_block
+    n_blocks = -(-m // qb)
+    m_pad = n_blocks * qb
+    if m_pad != m:
+        q_sorted = jnp.concatenate(
+            [q_sorted, jnp.broadcast_to(q_sorted[:, -1:], (B, m_pad - m, 3))],
+            axis=1,
+        )
+    w = min(window_points, n)
+    # static per-block window starts: the block's centre position on the
+    # query curve, mapped proportionally onto the support curve
+    centers = ((np.arange(n_blocks) + 0.5) * qb) * (n / m)
+    starts = np.clip(np.round(centers - w / 2), 0, n - w).astype(np.int32)
+    starts_j = jnp.asarray(starts)
+
+    blocks = q_sorted.reshape(B, n_blocks, qb, 3)
+
+    def batch_run(s_b, blocks_b):
+        def group_run(args):
+            qblk, start = args  # (G, qb, 3), (G,)
+            win = jax.vmap(
+                lambda st: lax.dynamic_slice(s_b, (st, 0), (w, 3))
+            )(start)  # (G, w, 3)
+            d2 = _pairwise_sq_dists(qblk, win)  # (G, qb, w)
+            vals, idx = lax.approx_min_k(d2, k, recall_target=recall_target)
+            return idx.astype(jnp.int32) + start[:, None, None], jnp.maximum(
+                vals, 0.0
+            )
+
+        g = min(block_group, n_blocks)
+        n_groups = -(-n_blocks // g)
+        pad_blocks = n_groups * g - n_blocks
+        qblks = blocks_b
+        sts = starts_j
+        if pad_blocks:
+            qblks = jnp.concatenate(
+                [qblks, jnp.broadcast_to(qblks[-1:], (pad_blocks, qb, 3))], 0
+            )
+            sts = jnp.concatenate(
+                [sts, jnp.broadcast_to(sts[-1:], (pad_blocks,))], 0
+            )
+        idx, d2 = lax.map(
+            group_run,
+            (
+                qblks.reshape(n_groups, g, qb, 3),
+                sts.reshape(n_groups, g),
+            ),
+        )
+        return (
+            idx.reshape(n_groups * g * qb, k)[: m_pad],
+            d2.reshape(n_groups * g * qb, k)[: m_pad],
+        )
+
+    idx, d2 = jax.vmap(batch_run)(s_sorted, blocks)
+    idx, d2 = idx[:, :m], d2[:, :m]
+    if presorted:
+        return idx, d2
+    return _unsort_results(idx, d2, s_order, q_order, m)
+
+
 # regime threshold mirroring the reference's guidance (model.py:160-184)
 _NAIVE_MAX_MN = 64_000_000  # M*N elements of the full distance matrix
+
+# above this support size, "approximate" switches from full-distance
+# approx_min_k to the Morton-window search (the FAISS-IVF analogue)
+_WINDOW_MIN_SUPPORT = 32_768
 
 
 def _on_tpu() -> bool:
@@ -273,6 +389,9 @@ def knn(
             return knn_tiled(support, query, k)
         return knn_naive(support, query, k)
     elif approach == "approximate":
+        if support.shape[1] > _WINDOW_MIN_SUPPORT:
+            # IVF-style locality search: O(M·window) instead of O(M·N)
+            return knn_window(support, query, k)
         return knn_approximate(support, query, k)
     elif approach == "pallas":
         from recognizer3d_tpu.ops.knn_pallas import knn_pallas
@@ -284,6 +403,44 @@ def knn(
         return knn_kdtree(support, query, k)
     else:
         raise ValueError(f"KNN approach {approach} not understood!")
+
+
+def knn_presorted(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    approach: str = "naive",
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`knn` for callers that keep their point sets in Morton-sorted
+    order (see ``ops/knn_pallas.morton_order``): returned indices are into
+    the GIVEN support order and rows stay in the GIVEN query order, so the
+    pallas paths skip their index remap + unsort (~14 ms at 64k×32). The
+    XLA/native paths are order-agnostic and dispatch as in :func:`knn`."""
+    if approach == "naive":
+        if k == 1:
+            if _on_tpu() and 8192 <= support.shape[1] <= 65536:
+                from recognizer3d_tpu.ops.knn_pallas import (
+                    argmin_pallas_presorted,
+                )
+
+                return argmin_pallas_presorted(support, query)
+            return knn_argmin(support, query)
+        if _on_tpu() and k <= 128:
+            from recognizer3d_tpu.ops.knn_pallas import knn_pallas_presorted
+
+            return knn_pallas_presorted(support, query, k)
+        mn = support.shape[1] * query.shape[1]
+        if mn > _NAIVE_MAX_MN:
+            return knn_tiled(support, query, k)
+        return knn_naive(support, query, k)
+    elif approach == "pallas":
+        from recognizer3d_tpu.ops.knn_pallas import knn_pallas_presorted
+
+        return knn_pallas_presorted(support, query, k)
+    elif approach == "approximate" and support.shape[1] > _WINDOW_MIN_SUPPORT:
+        return knn_window(support, query, k, presorted=True)
+    # small-N approximate / kdtree are order-agnostic
+    return knn(support, query, k, approach)
 
 
 def gather_neighbors(features: jax.Array, neighbors: jax.Array) -> jax.Array:

@@ -82,6 +82,19 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def invert_permutation(perm: jax.Array) -> jax.Array:
+    """Inverse of a permutation via an O(N) scatter.
+
+    ``jnp.argsort(perm)`` computes the same thing but pays a full
+    O(N log² N) sort on TPU (several ms at 64k points, and it appears once
+    per KNN call plus once per forward pass); the scatter form lowers to a
+    single row-scatter. Accepts (N,) or batched (B, N)."""
+    iota = lax.broadcasted_iota(perm.dtype, perm.shape, perm.ndim - 1)
+    if perm.ndim == 1:
+        return jnp.zeros_like(perm).at[perm].set(iota)
+    return jax.vmap(lambda p, i: jnp.zeros_like(p).at[p].set(i))(perm, iota)
+
+
 def _lane_select(vec: jax.Array, lane_iota: jax.Array, idx) -> jax.Array:
     """Extract lane ``idx`` of each row as (rows, 1) via masked reduction
     (mosaic-safe replacement for a sub-vreg lane slice)."""
@@ -565,24 +578,19 @@ def _knn_pallas_sorted(
     return idx[..., :k], jnp.maximum(d2[..., :k], 0.0)
 
 
-def _morton_prepare(support, query, qb, ts):
-    """Shared sort/pad preparation for the pallas KNN kernels.
+def morton_order(xyz: jax.Array) -> jax.Array:
+    """(B, N, 3) -> (B, N) Morton sort order (the spatial ordering both
+    pallas kernels want their inputs in)."""
+    return jnp.argsort(morton_codes(xyz), axis=1)
 
-    Morton-sorts both clouds, pads the support to a tile multiple with
-    far-away sentinels and the query to a block multiple by REPLICATING the
-    last real query (zero-padding would inflate the final block's bounding
-    box toward the origin and defeat tile culling for that block).
-    Returns (s_sorted, q_sorted, s_order, q_order)."""
-    B = support.shape[0]
-    n, m = support.shape[1], query.shape[1]
-    s_order = jnp.argsort(morton_codes(support), axis=1)  # (B, N)
-    s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
-    if support is query:  # self-KNN shares the sort
-        q_order, q_sorted = s_order, s_sorted
-    else:
-        q_order = jnp.argsort(morton_codes(query), axis=1)
-        q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
 
+def _pad_blocks(s_sorted, q_sorted, qb, ts):
+    """Pad a sorted support to a tile multiple with far-away sentinels and a
+    sorted query to a block multiple by REPLICATING the last real query
+    (zero-padding would inflate the final block's bounding box toward the
+    origin and defeat tile culling for that block)."""
+    B = s_sorted.shape[0]
+    n, m = s_sorted.shape[1], q_sorted.shape[1]
     n_pad = _round_up(n, ts)
     m_pad = _round_up(m, qb)
     if n_pad != n:
@@ -603,6 +611,21 @@ def _morton_prepare(support, query, qb, ts):
             ],
             axis=1,
         )
+    return s_sorted, q_sorted
+
+
+def _morton_prepare(support, query, qb, ts):
+    """Shared sort/pad preparation for the pallas KNN kernels.
+    Returns (s_sorted, q_sorted, s_order, q_order), padded as per
+    :func:`_pad_blocks`."""
+    s_order = morton_order(support)  # (B, N)
+    s_sorted = jnp.take_along_axis(support, s_order[..., None], axis=1)
+    if support is query:  # self-KNN shares the sort
+        q_order, q_sorted = s_order, s_sorted
+    else:
+        q_order = morton_order(query)
+        q_sorted = jnp.take_along_axis(query, q_order[..., None], axis=1)
+    s_sorted, q_sorted = _pad_blocks(s_sorted, q_sorted, qb, ts)
     return s_sorted, q_sorted, s_order, q_order
 
 
@@ -612,7 +635,7 @@ def _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m):
     idx_sorted = idx_sorted[:, :m]
     d2_sorted = d2_sorted[:, :m]
     idx_orig = jax.vmap(lambda order, idx: order[idx])(s_order, idx_sorted)
-    inv_q = jnp.argsort(q_order, axis=1)
+    inv_q = invert_permutation(q_order)
     idx_out = jnp.take_along_axis(idx_orig, inv_q[..., None], axis=1)
     d2_out = jnp.take_along_axis(d2_sorted, inv_q[..., None], axis=1)
     return idx_out, d2_out
@@ -657,3 +680,77 @@ def knn_pallas(
         s_sorted, q_sorted, k, qb, ts, interpret
     )
     return _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m)
+
+
+def _presorted_blocks(n: int, m: int, query_block, support_tile):
+    if support_tile is None:
+        support_tile = 512 if n <= 8192 else 1024
+    if query_block is None:
+        query_block = 256 if m <= 8192 else 128
+    ts = min(support_tile, _round_up(n, 128))
+    qb = min(query_block, _round_up(m, 8))
+    return qb, ts
+
+
+def knn_pallas_presorted(
+    support: jax.Array,
+    query: jax.Array,
+    k: int,
+    query_block: int = None,
+    support_tile: int = None,
+    interpret: bool = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact KNN on inputs the caller has ALREADY Morton-sorted (via
+    :func:`morton_order`): indices are into the GIVEN support order and rows
+    stay in the GIVEN query order. Skips the index remap + unsort of
+    :func:`knn_pallas` — the remap alone (``order[idx]``, an M·k-element
+    scalar gather) costs ~14 ms at 64k×32, so callers that can stay in the
+    sorted domain (the LFA blocks, models/randlanet.py) should.
+
+    Exactness does not depend on the ordering — tile bounds are true bounds
+    for any layout — only culling efficiency does."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n, m = support.shape[1], query.shape[1]
+    assert k <= n, f"k={k} exceeds support size {n}"
+    assert k <= _KB, f"k={k} > {_KB} not supported by the pallas kernel"
+    qb, ts = _presorted_blocks(n, m, query_block, support_tile)
+    s_pad, q_pad = _pad_blocks(support, query, qb, ts)
+    idx, d2 = _knn_pallas_sorted(s_pad, q_pad, k, qb, ts, interpret)
+    return idx[:, :m], d2[:, :m]
+
+
+def argmin_pallas_presorted(
+    support: jax.Array,
+    query: jax.Array,
+    query_block: int = 512,
+    support_tile: int = 1024,
+    interpret: bool = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact 1-NN on pre-Morton-sorted inputs (see
+    :func:`knn_pallas_presorted` for the contract)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n, m = support.shape[1], query.shape[1]
+
+    if n > _ARGMIN_MAX_SUPPORT:
+        best_d = best_i = None
+        for lo in range(0, n, _ARGMIN_MAX_SUPPORT):
+            chunk = support[:, lo : lo + _ARGMIN_MAX_SUPPORT]
+            ci, cd = argmin_pallas_presorted(
+                chunk, query, query_block, support_tile, interpret
+            )
+            ci = ci + lo
+            if best_d is None:
+                best_d, best_i = cd, ci
+            else:
+                take = cd < best_d
+                best_d = jnp.where(take, cd, best_d)
+                best_i = jnp.where(take, ci, best_i)
+        return best_i, best_d
+
+    ts = min(support_tile, _round_up(n, 128))
+    qb = min(query_block, _round_up(m, 8))
+    s_pad, q_pad = _pad_blocks(support, query, qb, ts)
+    idx, d2 = _argmin_pallas_sorted(s_pad, q_pad, qb, ts, interpret)
+    return idx[:, :m], jnp.maximum(d2[:, :m], 0.0)

@@ -14,8 +14,14 @@ from recognizer3d_tpu.ops.knn import (
     knn_argmin,
     knn_naive,
     knn_tiled,
+    knn_window,
 )
-from recognizer3d_tpu.ops.knn_pallas import knn_pallas, morton_codes
+from recognizer3d_tpu.ops.knn_pallas import (
+    invert_permutation,
+    knn_pallas,
+    morton_codes,
+    morton_order,
+)
 from recognizer3d_tpu.ops.upsample import upsample
 
 
@@ -197,6 +203,81 @@ class TestKnnPallas:
         xyz2 = xyz.at[0, 0].add(1e-4)
         codes2 = np.asarray(morton_codes(xyz2))[0]
         assert abs(int(codes[0]) - int(codes2[0])) < 1 << 12
+
+
+class TestKnnWindow:
+    """Morton-window approximate KNN (the FAISS-IVF analogue)."""
+
+    def _recall(self, got_i, support, query, k):
+        ref_i, _ = _oracle(support, query, k)
+        hits = 0
+        got = np.asarray(got_i)
+        for b in range(got.shape[0]):
+            for m in range(got.shape[1]):
+                hits += len(set(got[b, m]) & set(ref_i[b, m]))
+        return hits / ref_i.size
+
+    def test_high_recall_uniform(self):
+        rng = np.random.RandomState(1)
+        s = jnp.asarray(rng.rand(1, 9000, 3).astype(np.float32))
+        idx, d2 = knn_window(s, s, 8, window_points=2048, query_block=128)
+        assert idx.shape == (1, 9000, 8) and d2.shape == (1, 9000, 8)
+        assert self._recall(idx, s, s, 8) > 0.9
+        # self-neighbour at distance 0 must always be inside the window
+        assert float(jnp.max(d2[..., 0])) == 0.0
+
+    def test_returned_distances_consistent(self):
+        rng = np.random.RandomState(2)
+        s = jnp.asarray(rng.rand(2, 5000, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(2, 700, 3).astype(np.float32))
+        idx, d2 = knn_window(s, q, 4, window_points=2048, query_block=64)
+        sn = np.asarray(s)
+        qn = np.asarray(q)
+        for b in range(2):
+            pts = sn[b][np.asarray(idx)[b]]
+            ref = np.sum((pts - qn[b][:, None, :]) ** 2, axis=-1)
+            np.testing.assert_allclose(np.asarray(d2)[b], ref, atol=1e-5)
+
+    def test_small_support_falls_back(self):
+        rng = np.random.RandomState(3)
+        s = jnp.asarray(rng.rand(1, 600, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 100, 3).astype(np.float32))
+        idx, d2 = knn_window(s, q, 4, window_points=2048)
+        _assert_matches_oracle(idx, d2, s, q, 4)
+
+    def test_presorted_contract(self):
+        rng = np.random.RandomState(4)
+        s = jnp.asarray(rng.rand(1, 6000, 3).astype(np.float32))
+        order = morton_order(s)
+        s_sorted = jnp.take_along_axis(s, order[..., None], axis=1)
+        idx_p, d2_p = knn_window(
+            s_sorted, s_sorted, 4, window_points=2048, presorted=True
+        )
+        idx_u, d2_u = knn_window(s, s, 4, window_points=2048)
+        # map presorted results back to original order and compare distances
+        inv = invert_permutation(order)
+        d2_back = jnp.take_along_axis(d2_p, inv[..., None], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(d2_back), np.asarray(d2_u), atol=1e-6
+        )
+
+    def test_dispatch_large_approximate(self, monkeypatch):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        calls = {}
+        orig = knn_mod.knn_window
+
+        def spy(*a, **kw):
+            calls["hit"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(knn_mod, "knn_window", spy)
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 4000)
+        rng = np.random.RandomState(5)
+        s = jnp.asarray(rng.rand(1, 5000, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 200, 3).astype(np.float32))
+        knn_mod.knn(s, q, 4, "approximate")
+        assert calls.get("hit")
 
 
 class TestUpsample:
