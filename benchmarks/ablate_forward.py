@@ -145,6 +145,58 @@ def main():
     d2 = jnp.asarray(rng.rand(1, N, 32).astype(np.float32))
     t(f"take_along_axis unsort @ {N}x32", go_taa, d2, perm[None])
 
+    # ---- LFA non-KNN internals at level 0 (N x K=32) -------------------
+    from flax import linen as nn
+
+    from recognizer3d_tpu.models.randlanet import (
+        AttentivePooling,
+        LocalFeatureAggregation,
+        SharedMLP,
+        relative_position_encoding,
+    )
+
+    # full LFA block with fixed neighbour indices (isolates the non-KNN part
+    # when compared against the self-KNN rows above)
+    lfa = LocalFeatureAggregation(32, 32, "naive")
+    feats8 = jnp.asarray(rng.randn(1, N, 8).astype(np.float32))
+    lfa_vars = lfa.init(jax.random.PRNGKey(0), xyz[:, :4096], feats8[:, :4096])
+
+    def go_lfa(c, v, x, f):
+        out = lfa.apply(v, x + c * 1e-12, f)
+        return jnp.float32(jnp.max(out))
+
+    t("LFA level0 full (incl KNN)", go_lfa, lfa_vars, xyz, feats8)
+
+    # attentive pooling alone on (1, N, 32, 16)
+    ap = AttentivePooling(16)
+    x4 = jnp.asarray(rng.randn(1, N, 32, 16).astype(np.float32))
+    ap_vars = ap.init(jax.random.PRNGKey(0), x4[:, :1024])
+
+    def go_ap(c, v, x):
+        return jnp.float32(jnp.max(ap.apply(v, x + c * 1e-12)))
+
+    t("AttentivePooling (N,32,16)", go_ap, ap_vars, x4)
+
+    # SharedMLP on (1, N, 32, 10) -> 16 (the rpe mlp)
+    sm = SharedMLP(16, activation="relu")
+    x10 = jnp.asarray(rng.randn(1, N, 32, 10).astype(np.float32))
+    sm_vars = sm.init(jax.random.PRNGKey(0), x10[:, :1024])
+
+    def go_sm(c, v, x):
+        return jnp.float32(jnp.max(sm.apply(v, x + c * 1e-12)))
+
+    t("SharedMLP (N,32,10)->16", go_sm, sm_vars, x10)
+
+    # rpe construction (concat of center/neighbor/diff/dist)
+    nb_xyz = jnp.asarray(rng.randn(1, N, 32, 3).astype(np.float32))
+    dists = jnp.asarray(rng.rand(1, N, 32).astype(np.float32))
+
+    def go_rpe(c, x, nb, d):
+        out = relative_position_encoding(x + c * 1e-12, None, d, nb)
+        return jnp.float32(jnp.max(out))
+
+    t("RPE concat (N,32,10)", go_rpe, xyz, nb_xyz, dists)
+
 
 if __name__ == "__main__":
     main()

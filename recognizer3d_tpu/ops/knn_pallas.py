@@ -24,15 +24,17 @@ distance+select pipeline entirely:
    k-th best — exactness is preserved because the bound is a true lower
    bound. On spatially coherent clouds the vast majority of tiles are
    culled; in the ``hbm`` variant culled tiles cost zero HBM traffic.
-4. **Adaptive exact merge**: for a surviving tile, first count how many of
-   its candidates actually beat the block's running k-th-best thresholds
-   (``nc`` — usually ≪ k once the buffer is warm, 0 for most tiles). Only
-   ``min(nc, k)`` min-extraction passes run over the wide (QB, TS) distance
-   tile (a *dynamic* fori_loop), staging the winners into a 128-lane
-   buffer; the staged winners then merge with the running best over just
-   256 lanes. Exact: a candidate ≥ the current k-th best can never enter
-   the top-k, and a tile can contribute at most k entries, necessarily its
-   k smallest. All in VMEM; the distance tile never touches HBM.
+4. **Packed-key extraction merge**: a surviving tile's distances are packed
+   into int32 keys — distance bits (the bitcast is order-preserving for
+   non-negative f32) with the low 10 bits replaced by the lane index — so
+   one integer comparison encodes the (value, lane) lexicographic order.
+   Each pass extracts the next-smallest key (~6 VMEM sweeps; the merge is
+   bandwidth-bound) and inserts the winner into the sorted best buffer
+   with one lane-shift; reported distances are exact f32 (per-winner
+   recovery), and the loop's stop test uses the truncated lower bound of
+   the next key, so the selected top-k SET is exact: extraction stops only
+   when no later candidate can beat any query's running k-th best. All in
+   VMEM; the distance tile never touches HBM.
 
 Mosaic notes: every big lane dimension is kept a multiple of 128 and all
 scalar/lane extractions are done with masked reductions instead of sub-vreg
@@ -115,6 +117,7 @@ def _knn_kernel(
     best_d_ref,  # scratch VMEM (QB, 128) running best (sorted, +inf padded)
     best_i_ref,  # scratch VMEM (QB, 128)
     tile_d2_ref,  # scratch VMEM (QB, TS) distances of the visiting tile
+    tile_key_ref,  # scratch VMEM (QB, TS) int32 packed (distance, lane) keys
     lbvec_ref,  # scratch VMEM (1, n_tiles) box-to-box lb; +inf once visited
     s_tile_ref,  # scratch VMEM (4, TS), hbm=True only (else None)
     dma_sem,  # DMA semaphore, hbm=True only (else None)
@@ -217,34 +220,41 @@ def _knn_kernel(
             # explicit FMA beats a degenerate MXU matmul)
             d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2  # (QB, TS)
             tile_d2_ref[:] = d2
+            # packed selection keys: distance bits (d2 >= 0, so the int32
+            # bitcast is order-preserving) with the low 10 bits replaced by
+            # the lane index. One key comparison then encodes the
+            # (value, lane) lexicographic order the merge needs, so each
+            # extraction pass runs ~6 VMEM sweeps instead of ~10 (the merge
+            # is bandwidth-bound — measured, not sync-bound). Selection
+            # granularity is 1024 f32 ULPs (~6e-5 relative, far below both
+            # sensor noise and the reference's |q|²+|s|²−2qs cancellation
+            # error); reported distances stay exact f32 via per-winner
+            # recovery, and the stop test uses the truncated LOWER bound,
+            # so no candidate that could still enter any top-k is missed.
+            tile_key_ref[:] = (
+                pltpu.bitcast(d2, jnp.int32) & jnp.int32(~1023)
+            ) | lane_ts
 
-            # extraction-insertion merge: extract the tile's minima in
-            # ascending order and insert each directly into the sorted best
-            # buffer (one lane-shift — a handful of (QB, 128) ops, instead
-            # of a k-pass wide merge). Passes are READ-ONLY over the tile:
-            # already-extracted candidates are excluded by a (value, lane)
-            # lexicographic comparison instead of rewriting the (QB, TS)
-            # buffer with +inf — halves the VMEM traffic per pass. The loop
-            # re-reads the k-th-best threshold every pass, so it stops as
-            # soon as the next tile minimum cannot enter any query's top-k
-            # (exact: tile minima ascend, thresholds only tighten).
-            big = jnp.int32(ts)
-
-            def ext_cond(c):
-                j, go, _m, _pos = c
-                return go & (j < k)
-
-            def ext_body(c):
-                j, _go, m_prev, pos_prev = c
-                d2m = tile_d2_ref[:]
-                elig = (d2m > m_prev) | (
-                    (d2m == m_prev) & (lane_ts > pos_prev)
+            def extract_insert(key_prev):
+                """Extract the next-smallest packed key + sorted insertion.
+                Returns (key, trunc_lb, accepted)."""
+                km = tile_key_ref[:]
+                ke = jnp.where(km > key_prev, km, jnp.int32(0x7FFFFFFF))
+                kmin = jnp.min(ke, axis=1, keepdims=True)  # (QB, 1)
+                pos = kmin & 1023
+                # exact f32 distance of the selected winner (keys are unique
+                # per lane, so the equality match is the winner lane alone;
+                # an exhausted row matches every excluded lane -> guard it)
+                m = jnp.min(
+                    jnp.where(ke == kmin, tile_d2_ref[:], jnp.inf),
+                    axis=1,
+                    keepdims=True,
                 )
-                d2e = jnp.where(elig, d2m, jnp.inf)
-                m = jnp.min(d2e, axis=1, keepdims=True)  # (QB, 1)
-                pos = jnp.min(
-                    jnp.where(d2e == m, lane_ts, big), axis=1, keepdims=True
-                )  # (QB, 1) first-occurrence argmin via iota-min
+                m = jnp.where(kmin == jnp.int32(0x7FFFFFFF), jnp.inf, m)
+                # truncated lower bound: every later candidate's true
+                # distance is >= this (keys ascend => truncations ascend)
+                m_lb = pltpu.bitcast(kmin & jnp.int32(~1023), jnp.float32)
+                m_lb = jnp.where(kmin == jnp.int32(0x7FFFFFFF), jnp.inf, m_lb)
                 th = jnp.sum(
                     jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
                     axis=1,
@@ -272,7 +282,19 @@ def _knn_kernel(
                 best_i_ref[:] = jnp.where(
                     keep, best_i, jnp.where(put, sel, shifted_i)
                 )
-                return j + 1, jnp.any(m < th), m, pos
+                return kmin, m_lb, m_lb < th
+
+            def ext_cond(c):
+                j, go, _key = c
+                # j bounds only runaway (near-tie reordering can need a
+                # couple of extra passes past k); go is the exact stop
+                return go & (j < k + 4)
+
+            def ext_body(c):
+                j, _go, key_prev = c
+                key1, _lb1, _acc1 = extract_insert(key_prev)
+                key2, _lb2, acc2 = extract_insert(key1)
+                return j + 2, jnp.any(acc2), key2
 
             lax.while_loop(
                 ext_cond,
@@ -280,7 +302,6 @@ def _knn_kernel(
                 (
                     jnp.int32(0),
                     jnp.bool_(True),
-                    jnp.full((qb, 1), -jnp.inf, jnp.float32),
                     jnp.full((qb, 1), -1, jnp.int32),
                 ),
             )
@@ -527,6 +548,7 @@ def _knn_pallas_sorted(
         pltpu.VMEM((qb, _KB), jnp.float32),  # best_d
         pltpu.VMEM((qb, _KB), jnp.int32),  # best_i
         pltpu.VMEM((qb, ts), jnp.float32),  # tile_d2
+        pltpu.VMEM((qb, ts), jnp.int32),  # tile_key
         pltpu.VMEM((1, n_tiles), jnp.float32),  # lbvec
     ]
     if hbm:
