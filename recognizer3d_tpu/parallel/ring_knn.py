@@ -100,6 +100,103 @@ def ring_knn(
     return f(support, query)
 
 
+def _ring_knn_gather_local(
+    support_shard: jax.Array,
+    query_shard: jax.Array,
+    feat_shard: jax.Array,
+    k: int,
+    axis_name: str,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-device body: like :func:`_ring_knn_local`, but each ring step
+    also gathers the visiting shard's point FEATURES for its candidate
+    neighbours and merges (distance, index, features) triples in the
+    running top-k — so after the ring pass every query holds its k global
+    neighbours' features locally and the downstream LocSE/attentive
+    pooling needs no cross-shard gather at all."""
+    n_devices = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    n_loc = support_shard.shape[1]
+    b, m_loc, _ = query_shard.shape
+    c = feat_shard.shape[-1]
+    k_step = min(k, n_loc)
+    perm = [(j, (j + 1) % n_devices) for j in range(n_devices)]
+
+    def step(carry, i):
+        best_d, best_i, best_f, visiting, visiting_f = carry
+        src = (me - i) % n_devices
+        idx, d2 = knn_naive(visiting, query_shard, k_step)  # (B, m, k_step)
+        idx_global = idx + src * n_loc
+        # gather the candidates' features from the visiting feature shard
+        flat = idx.reshape(b, m_loc * k_step)
+        feats = jnp.take_along_axis(
+            visiting_f, flat[..., None], axis=1
+        ).reshape(b, m_loc, k_step, c)
+        cand_d = jnp.concatenate([best_d, d2], axis=-1)
+        cand_i = jnp.concatenate([best_i, idx_global], axis=-1)
+        cand_f = jnp.concatenate([best_f, feats], axis=-2)
+        neg_top, sel = lax.top_k(-cand_d, k)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cand_i, sel, axis=-1)
+        new_f = jnp.take_along_axis(cand_f, sel[..., None], axis=-2)
+        visiting = lax.ppermute(visiting, axis_name, perm)
+        visiting_f = lax.ppermute(visiting_f, axis_name, perm)
+        return (new_d, new_i, new_f, visiting, visiting_f), None
+
+    def _vary(x):
+        try:
+            return lax.pcast(x, (axis_name,), to="varying")
+        except (AttributeError, TypeError):
+            return lax.pvary(x, (axis_name,))
+
+    init = (
+        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32)),
+        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32)),
+        _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype)),
+        support_shard,
+        feat_shard,
+    )
+    (best_d, best_i, best_f, _, _), _ = lax.scan(
+        step, init, jnp.arange(n_devices, dtype=jnp.int32)
+    )
+    return best_i, jnp.maximum(best_d, 0.0), best_f
+
+
+def ring_knn_gather(
+    support: jax.Array,
+    query: jax.Array,
+    features: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis_name: str = "points",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused distributed KNN + neighbour-feature gather over a point-sharded
+    mesh: the ring-attention analogue for local feature aggregation. Returns
+    (global indices (B, M, k), squared distances, neighbour features
+    (B, M, k, C)) — all block-sharded over the query axis, so a distributed
+    LFA block (LocSE + attentive pooling) can run purely shard-locally on
+    the result.
+
+    :param support: (B, N, 3) sharded over ``axis_name``.
+    :param query: (B, M, 3) sharded over ``axis_name``.
+    :param features: (B, N, C) per-support-point features, sharded likewise.
+    """
+    f = shard_map(
+        partial(_ring_knn_gather_local, k=k, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name, None),
+            P(None, axis_name, None),
+            P(None, axis_name, None),
+        ),
+        out_specs=(
+            P(None, axis_name, None),
+            P(None, axis_name, None),
+            P(None, axis_name, None, None),
+        ),
+    )
+    return f(support, query, features)
+
+
 def point_sharded_mesh(n_devices: int = -1) -> Mesh:
     """1-D mesh over the point axis (SP analogue)."""
     import numpy as np

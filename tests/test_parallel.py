@@ -14,7 +14,11 @@ from recognizer3d_tpu.parallel.mesh import (
     replicate_fn,
     shard_batch_fn,
 )
-from recognizer3d_tpu.parallel.ring_knn import point_sharded_mesh, ring_knn
+from recognizer3d_tpu.parallel.ring_knn import (
+    point_sharded_mesh,
+    ring_knn,
+    ring_knn_gather,
+)
 
 
 @pytest.fixture(scope="module")
@@ -45,6 +49,25 @@ class TestRingKnn:
             np.testing.assert_allclose(
                 d2_check, np.asarray(d2)[b], atol=1e-5
             )
+
+    def test_ring_knn_gather_matches_oracle(self, eight_devices):
+        mesh = point_sharded_mesh(8)
+        rng = np.random.RandomState(1)
+        support = jnp.asarray(rng.rand(1, 48 * 8, 3).astype(np.float32))
+        query = jnp.asarray(rng.rand(1, 16 * 8, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(1, 48 * 8, 5).astype(np.float32))
+        idx, d2, nf = ring_knn_gather(support, query, feats, 6, mesh)
+        ref_idx, ref_d2 = knn_naive(support, query, 6)
+        np.testing.assert_allclose(
+            np.asarray(d2), np.asarray(ref_d2), atol=1e-5
+        )
+        # gathered features must equal features[idx] (the whole point:
+        # the ring pass delivers every neighbour's features shard-locally)
+        f = np.asarray(feats)[0]
+        got_i = np.asarray(idx)[0]
+        np.testing.assert_allclose(
+            np.asarray(nf)[0], f[got_i], atol=1e-6
+        )
 
     def test_self_knn_sharded(self, eight_devices):
         mesh = point_sharded_mesh(8)
