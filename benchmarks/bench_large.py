@@ -9,8 +9,11 @@ Usage: python benchmarks/bench_large.py [n_points]
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main(n_points: int = 1_048_576):
@@ -43,6 +46,58 @@ def main(n_points: int = 1_048_576):
             }
         )
     )
+
+    # full RandLA-Net forward at n_points (the S3DIS-style large-scene
+    # config): exact pallas KNN ("naive") and Morton-window approximate
+    # ("approximate" — the reference's own regime choice at this scale,
+    # model.py:160-184). The reference's torch path cannot run this at all
+    # (its naive KNN OOMs past ~20k and FAISS is a per-layer CPU
+    # round-trip).
+    from recognizer3d_tpu.models.facade import Model
+    from recognizer3d_tpu.models.settings import RandLANetSettings
+
+    for approach in ("approximate", "naive"):
+        settings = RandLANetSettings(
+            n_classes=2, n_features=0, knn=approach, n_points=n_points,
+            n_neighbors=32, decimation=4,
+        )
+        model = Model(settings, seed=0)
+        x = jnp.asarray(rng.randn(1, n_points, 3).astype(np.float32) * 0.2)
+        perm = jnp.asarray(rng.permutation(n_points).astype(np.int32))
+        try:
+            fwd = jax.jit(
+                lambda v, x, p: model._forward_jit(v, x, p)
+            )
+            out = fwd(model.variables, x, perm)
+            _ = float(jnp.max(out))
+            times = []
+            for _i in range(3):
+                t = time.perf_counter()
+                out = fwd(model.variables, x + _i * 1e-12, perm)
+                _ = float(jnp.max(out))
+                times.append(time.perf_counter() - t)
+            fwd_ms = float(np.median(times)) * 1000
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            f"RandLA-Net forward @ {n_points} pts"
+                            f" (knn={approach})"
+                        ),
+                        "value": round(fwd_ms, 1),
+                        "unit": "ms",
+                    }
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — report OOM etc. and move on
+            print(
+                json.dumps(
+                    {
+                        "metric": f"forward @ {n_points} (knn={approach})",
+                        "error": str(e)[:200],
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":

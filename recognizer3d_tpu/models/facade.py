@@ -74,7 +74,11 @@ class Model:
         if weights is not None:
             self._variables = jax.device_put(weights)
         else:
-            n_init = max(settings.n_points, settings.min_n_points)
+            # parameters are independent of N (every layer is channel-
+            # shaped), so initialise at the smallest legal cloud — at the
+            # large-scene configs an init at n_points would compile and run
+            # a full million-point forward just to create the pytree
+            n_init = settings.min_n_points
             dummy = jnp.zeros((1, n_init, 3 + settings.n_features), jnp.float32)
             perm = jnp.arange(n_init, dtype=jnp.int32)
             self._variables = self._module.init(

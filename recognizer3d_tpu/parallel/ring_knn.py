@@ -197,6 +197,68 @@ def ring_knn_gather(
     return f(support, query, features)
 
 
+def _ring_gather_local(
+    feat_shard: jax.Array,
+    idx_global: jax.Array,
+    axis_name: str,
+) -> jax.Array:
+    """Per-device body: gather rows of a point-sharded feature table by
+    GLOBAL indices. Feature shards rotate around the ring; at each step
+    every query picks up the neighbours whose global id lives in the
+    visiting shard."""
+    n_devices = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    b, n_loc, c = feat_shard.shape
+    m_loc, k = idx_global.shape[1], idx_global.shape[2]
+    perm = [(j, (j + 1) % n_devices) for j in range(n_devices)]
+
+    def step(carry, i):
+        out, visiting_f = carry
+        src = (me - i) % n_devices
+        local = idx_global - src * n_loc  # (B, m, k)
+        hit = (local >= 0) & (local < n_loc)
+        safe = jnp.clip(local, 0, n_loc - 1).reshape(b, m_loc * k)
+        got = jnp.take_along_axis(
+            visiting_f, safe[..., None], axis=1
+        ).reshape(b, m_loc, k, c)
+        out = jnp.where(hit[..., None], got, out)
+        visiting_f = lax.ppermute(visiting_f, axis_name, perm)
+        return (out, visiting_f), None
+
+    def _vary(x):
+        try:
+            return lax.pcast(x, (axis_name,), to="varying")
+        except (AttributeError, TypeError):
+            return lax.pvary(x, (axis_name,))
+
+    init_out = _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype))
+    (out, _), _ = lax.scan(
+        step,
+        (init_out, feat_shard),
+        jnp.arange(n_devices, dtype=jnp.int32),
+    )
+    return out
+
+
+def ring_gather(
+    features: jax.Array,
+    idx_global: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "points",
+) -> jax.Array:
+    """Distributed ``gather_neighbors``: ``features`` (B, N, C) and
+    ``idx_global`` (B, M, k) are both point-sharded; returns (B, M, k, C)
+    neighbour features, sharded over the query axis. One rotation of the
+    feature shards around the ring — no all-gather of the table."""
+    f = shard_map(
+        partial(_ring_gather_local, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=P(None, axis_name, None, None),
+    )
+    return f(features, idx_global)
+
+
 def point_sharded_mesh(n_devices: int = -1) -> Mesh:
     """1-D mesh over the point axis (SP analogue)."""
     import numpy as np

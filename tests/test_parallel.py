@@ -69,6 +69,36 @@ class TestRingKnn:
             np.asarray(nf)[0], f[got_i], atol=1e-6
         )
 
+    def test_ring_gather_matches_local(self, eight_devices):
+        from recognizer3d_tpu.parallel.ring_knn import ring_gather
+
+        mesh = point_sharded_mesh(8)
+        rng = np.random.RandomState(2)
+        feats = jnp.asarray(rng.randn(1, 40 * 8, 3).astype(np.float32))
+        idx = jnp.asarray(
+            rng.randint(0, 40 * 8, (1, 24 * 8, 5)).astype(np.int32)
+        )
+        out = ring_gather(feats, idx, mesh)
+        ref = np.asarray(feats)[0][np.asarray(idx)[0]]
+        np.testing.assert_allclose(np.asarray(out)[0], ref, atol=1e-6)
+
+    def test_sp_lfa_matches_single_device(self, eight_devices):
+        from recognizer3d_tpu.models.randlanet import LocalFeatureAggregation
+        from recognizer3d_tpu.parallel.sp_lfa import sp_lfa_eval
+
+        mesh = point_sharded_mesh(8)
+        rng = np.random.RandomState(3)
+        n = 32 * 8
+        xyz = jnp.asarray(rng.rand(1, n, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(1, n, 8).astype(np.float32))
+        lfa = LocalFeatureAggregation(16, 8, "naive")
+        variables = lfa.init(jax.random.PRNGKey(0), xyz, feats)
+        ref = lfa.apply(variables, xyz, feats, train=False)
+        got = sp_lfa_eval(variables, xyz, feats, 8, mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
     def test_self_knn_sharded(self, eight_devices):
         mesh = point_sharded_mesh(8)
         rng = np.random.RandomState(1)
