@@ -31,12 +31,37 @@ def broaden_annotation(
     Returns zeros when no point is annotated (the reference would fail on an
     empty reduce there).
     """
-    annotation_cloud = point_cloud[annotation.astype(bool)]
+    annotation_cloud = np.ascontiguousarray(
+        point_cloud[annotation.astype(bool)], dtype=np.float32
+    )
     if annotation_cloud.shape[0] == 0:
         return np.zeros((point_cloud.shape[0],), dtype=np.uint8)
-    # (A, N) pairwise distances, computed blockwise to bound memory for big N
+
+    # fast path: 1-NN distance to the annotated set via the native C++
+    # KD-tree (within-radius-of-any == nearest-annotated-distance < radius).
+    # With region annotations the brute-force (A, N) product is hundreds of
+    # MB of host traffic per load; the tree query is O(N log A).
+    if annotation_cloud.shape[0] >= 32:
+        try:
+            from recognizer3d_tpu.ops.knn_cpp import (
+                knn_kdtree_host,
+                native_available,
+            )
+
+            if native_available():
+                _, d2 = knn_kdtree_host(
+                    annotation_cloud[None],
+                    np.ascontiguousarray(point_cloud, np.float32)[None],
+                    1,
+                )
+                return (d2[0, :, 0] < radius * radius).astype(np.uint8)
+        except Exception:  # noqa: BLE001 — fall back to numpy
+            pass
+
+    # (A, N) pairwise distances, blocked so the buffer stays cache-friendly
     out = np.zeros((point_cloud.shape[0],), dtype=bool)
-    block = 1 << 20  # points per block
+    a = annotation_cloud.shape[0]
+    block = max(1024, (1 << 25) // max(a, 1))  # ≤ ~128 MB per block
     for start in range(0, point_cloud.shape[0], block):
         chunk = point_cloud[start : start + block]  # (n, 3)
         d2 = (
@@ -63,6 +88,13 @@ class Dataset(Sequence):
         self._only_annotated = only_annotated
         self._selection = selection
         self._broaden_annotations = broaden_annotations
+        # per-sample cache: training iterates the dataset once per epoch,
+        # and broaden_annotation is O(A·N) host work per load — with region
+        # annotations that dominates the whole epoch if recomputed (the
+        # reference reloads every epoch, but its annotations are single
+        # points). FIFO-bounded; invalidated on writes.
+        self._cache: "dict" = {}
+        self._cache_limit = 256
 
     def __len__(self):
         if self._selection is not None:
@@ -99,6 +131,17 @@ class Dataset(Sequence):
     def _get_item_str(
         self, index: str
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if index in self._cache:
+            return self._cache[index]
+        item = self._load_item_str(index)
+        if len(self._cache) >= self._cache_limit:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[index] = item
+        return item
+
+    def _load_item_str(
+        self, index: str
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         item_path = self._root_path / (index + "_data.npy")
         if not item_path.exists():
             raise Exception(f"index {index} doesn't exist in dataset.")
@@ -132,11 +175,13 @@ class Dataset(Sequence):
         root = self._root_path / Dataset.timestamp(index)
         self._root_path.mkdir(parents=True, exist_ok=True)
         np.save(str(root) + "_data", value)
+        self._cache.pop(Dataset.timestamp(index), None)
 
     def set_annotation(self, index: datetime, value: np.ndarray) -> None:
         root = self._root_path / Dataset.timestamp(index)
         self._root_path.mkdir(parents=True, exist_ok=True)
         np.save(str(root) + "_annotation", value)
+        self._cache.pop(Dataset.timestamp(index), None)
 
     @classmethod
     def timestamp(cls, time: Optional[datetime]) -> str:

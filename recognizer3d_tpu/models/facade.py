@@ -10,8 +10,9 @@ TPU specifics:
 
 - the forward pass, softmax and the full-cloud upsampling are separate jitted
   programs so the (fixed-shape) network compile is reused across varying live
-  frame sizes; full clouds are padded to 4096-point buckets to bound the
-  number of compilations in the 250 ms live loop;
+  frame sizes; full clouds are padded to proportional buckets (~1/16 of
+  the size, min 4096) to bound the number of compilations in the 250 ms
+  live loop;
 - ``load`` transparently accepts BOTH this framework's archives (msgpack
   weights) and original PyTorch reference archives (torch state_dict),
   converting the latter via models/torch_compat.py — pretrained reference
@@ -43,7 +44,19 @@ from recognizer3d_tpu.models.randlanet import RandLANet
 from recognizer3d_tpu.models.settings import RandLANetSettings
 from recognizer3d_tpu.ops.upsample import upsample as upsample_features
 
-_BUCKET = 4096  # full-cloud padding granularity for the postprocess upsample
+_BUCKET = 4096  # minimum full-cloud padding granularity
+
+
+def _bucket(n: int) -> int:
+    """Round a full-cloud size up to its bucket. Buckets are proportional
+    (~1/16 of the size, at least 4096): camera frames vary by a few percent
+    frame-to-frame after the z-filter, and a fixed fine granularity would
+    recompile the predict program for nearly every distinct size (remote
+    TPU compiles cost ~1-2 min). Padding waste is bounded at ~6%."""
+    if n <= _BUCKET:
+        return _BUCKET
+    step = max(_BUCKET, 1 << (int(n).bit_length() - 4))
+    return -(-n // step) * step
 
 
 def _round_up(n: int, m: int) -> int:
@@ -232,12 +245,12 @@ class Model:
         """softmax(logits) upsampled onto xyz_upsampled (model.py:123-142).
         logits (B, C, N1); returns confidences (B, C, N2).
 
-        The target cloud is padded to a 4096-point bucket so repeated calls
-        with varying cloud sizes reuse one compiled program."""
+        The target cloud is padded to a proportional bucket (``_bucket``)
+        so repeated calls with varying cloud sizes reuse compiled programs."""
         confidences = jax.nn.softmax(jnp.asarray(logits), axis=-2)
         xyz_upsampled = np.asarray(xyz_upsampled, dtype=np.float32)
         n_full = xyz_upsampled.shape[-2]
-        n_padded = _round_up(n_full, _BUCKET)
+        n_padded = _bucket(n_full)
         if n_padded != n_full:
             pad_width = [(0, 0)] * xyz_upsampled.ndim
             pad_width[-2] = (0, n_padded - n_full)
@@ -307,7 +320,7 @@ class Model:
             )
             # pad the full cloud to a bucket so live frames of varying size
             # reuse one compiled program
-            n_padded = _round_up(n_full, _BUCKET)
+            n_padded = _bucket(n_full)
             if n_padded != n_full:
                 pad = np.zeros(
                     (inputs.shape[0], n_padded - n_full, inputs.shape[2]),
