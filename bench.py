@@ -234,11 +234,10 @@ def main():
     # ------------------------------------------------------------------
     # baseline comparison
     # ------------------------------------------------------------------
-    # primary = per-cloud throughput at 64k, best of batch-1 / batch-4 (a
-    # production host maximising clouds/sec/chip batches frames; both
-    # measurements are reported in extras)
-    best_cps = max(clouds_per_sec, clouds_per_sec_b4)
-
+    # primary = single-cloud throughput at 64k — the CPU baseline was
+    # measured single-cloud, so vs_baseline stays like-for-like (the
+    # batch-4 amortised rate is reported in extras; measured: batching at
+    # 64k is HBM-bound and does not help)
     baseline_path = REPO / "benchmarks" / "baseline_cpu.json"
     vs_baseline = 1.0
     baseline_available = False
@@ -247,7 +246,7 @@ def main():
         baseline = json.loads(baseline_path.read_text())
         ref_cps = baseline.get("clouds_per_sec_64k")
         if ref_cps:
-            vs_baseline = best_cps / ref_cps
+            vs_baseline = clouds_per_sec / ref_cps
             baseline_available = True
 
     extras = {
@@ -274,7 +273,7 @@ def main():
         json.dumps(
             {
                 "metric": "point clouds/sec/chip @ 64k pts",
-                "value": round(best_cps, 3),
+                "value": round(clouds_per_sec, 3),
                 "unit": "clouds/s",
                 "vs_baseline": round(vs_baseline, 3),
                 **extras,

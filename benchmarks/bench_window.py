@@ -12,34 +12,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def _device_time(make_fn, args, iters=5):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    @jax.jit
-    def loop(*args):
-        def body(i, c):
-            return make_fn(c, *args)
-
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    @jax.jit
-    def loop0(x):
-        def body(i, c):
-            return c + x
-
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    float(loop(*args))
-    float(loop0(jnp.float32(1.0)))
-    t0 = time.perf_counter()
-    float(loop0(jnp.float32(1.0)))
-    overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return max((time.perf_counter() - t0 - overhead) / iters, 1e-9)
+from benchmarks._timing import device_time as _device_time
 
 
 def main():

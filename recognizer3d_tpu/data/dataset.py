@@ -92,9 +92,12 @@ class Dataset(Sequence):
         # and broaden_annotation is O(A·N) host work per load — with region
         # annotations that dominates the whole epoch if recomputed (the
         # reference reloads every epoch, but its annotations are single
-        # points). FIFO-bounded; invalidated on writes.
+        # points). FIFO-bounded by BYTES (large-scene clouds are MBs each);
+        # invalidated on writes; reads return copies so callers mutating a
+        # sample in place cannot corrupt later epochs.
         self._cache: "dict" = {}
-        self._cache_limit = 256
+        self._cache_bytes = 0
+        self._cache_limit_bytes = 512 << 20
 
     def __len__(self):
         if self._selection is not None:
@@ -132,11 +135,19 @@ class Dataset(Sequence):
         self, index: str
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if index in self._cache:
-            return self._cache[index]
+            return tuple(a.copy() for a in self._cache[index])
         item = self._load_item_str(index)
-        if len(self._cache) >= self._cache_limit:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[index] = item
+        size = sum(a.nbytes for a in item)
+        if size <= self._cache_limit_bytes:
+            while (
+                self._cache
+                and self._cache_bytes + size > self._cache_limit_bytes
+            ):
+                evicted = self._cache.pop(next(iter(self._cache)))
+                self._cache_bytes -= sum(a.nbytes for a in evicted)
+            self._cache[index] = item
+            self._cache_bytes += size
+            return tuple(a.copy() for a in item)
         return item
 
     def _load_item_str(
@@ -175,13 +186,18 @@ class Dataset(Sequence):
         root = self._root_path / Dataset.timestamp(index)
         self._root_path.mkdir(parents=True, exist_ok=True)
         np.save(str(root) + "_data", value)
-        self._cache.pop(Dataset.timestamp(index), None)
+        self._cache_evict(Dataset.timestamp(index))
 
     def set_annotation(self, index: datetime, value: np.ndarray) -> None:
         root = self._root_path / Dataset.timestamp(index)
         self._root_path.mkdir(parents=True, exist_ok=True)
         np.save(str(root) + "_annotation", value)
-        self._cache.pop(Dataset.timestamp(index), None)
+        self._cache_evict(Dataset.timestamp(index))
+
+    def _cache_evict(self, key: str) -> None:
+        item = self._cache.pop(key, None)
+        if item is not None:
+            self._cache_bytes -= sum(a.nbytes for a in item)
 
     @classmethod
     def timestamp(cls, time: Optional[datetime]) -> str:

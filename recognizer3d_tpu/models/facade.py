@@ -59,10 +59,6 @@ def _bucket(n: int) -> int:
     return -(-n // step) * step
 
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
 class Model:
     """RandLA-Net model wrapper with weight saving, loading and prediction
     (reference model.py:21-336)."""

@@ -10,9 +10,12 @@ Capability parity with the reference's ``RandLANetSettings`` dataclass
 
   * ``naive``       — full pairwise-distance matmul + top-k on device
                       (maps the reference's GPU matmul path, knn.py:7-55).
-  * ``approximate`` — XLA's TPU-accelerated ``approx_min_k`` over tiled
-                      distances (replaces the CPU FAISS IVF round-trip,
-                      knn.py:58-117) — never leaves the device.
+  * ``approximate`` — device-resident approximate search replacing the CPU
+                      FAISS IVF round-trip (knn.py:58-117): XLA's
+                      TPU-accelerated ``approx_min_k`` over full distances
+                      up to 32k support points, and the Morton-window
+                      locality search (ops/knn.knn_window — the IVF
+                      analogue, O(M·window) work) beyond that.
   * ``kdtree``      — our own C++ exact KD-tree run host-side through a JAX
                       callback (the working equivalent of the reference's
                       dormant ``knn_tpk`` extension, utils/src/knn.cpp).

@@ -254,7 +254,6 @@ def knn_window(
     import numpy as np
 
     from recognizer3d_tpu.ops.knn_pallas import (
-        _SENTINEL,
         _unsort_results,
         morton_order,
     )

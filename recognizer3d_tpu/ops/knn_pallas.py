@@ -286,9 +286,15 @@ def _knn_kernel(
 
             def ext_cond(c):
                 j, go, _key = c
-                # j bounds only runaway (near-tie reordering can need a
-                # couple of extra passes past k); go is the exact stop
-                return go & (j < k + 4)
+                # `go` is the exact stop (truncated-lower-bound test). The
+                # j bound cannot cut extraction short: keys strictly
+                # increase per pass, so after ts passes every lane is
+                # exhausted and `go` is already false — but it gives the
+                # loop a static trip bound. A cap near k would be WRONG:
+                # candidates sharing a 1024-ULP truncation bucket straddling
+                # a threshold can burn passes without inserting, and a true
+                # winner may sort after them within the bucket.
+                return go & (j < ts)
 
             def ext_body(c):
                 j, _go, key_prev = c
@@ -489,36 +495,20 @@ def argmin_pallas(
 
     Support clouds beyond ``_ARGMIN_MAX_SUPPORT`` points (the kernel keeps
     the whole support resident in VMEM) are processed in chunks whose
-    per-chunk minima are combined — still exact."""
+    per-chunk minima are combined (handled by
+    :func:`argmin_pallas_presorted`; chunks of a Morton-sorted cloud stay
+    Morton-sorted) — still exact."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    B, n, _ = support.shape
-    m = query.shape[1]
-
-    if n > _ARGMIN_MAX_SUPPORT:
-        best_d = best_i = None
-        for lo in range(0, n, _ARGMIN_MAX_SUPPORT):
-            chunk = support[:, lo : lo + _ARGMIN_MAX_SUPPORT]
-            ci, cd = argmin_pallas(
-                chunk, query, query_block, support_tile, interpret
-            )
-            ci = ci + lo
-            if best_d is None:
-                best_d, best_i = cd, ci
-            else:
-                take = cd < best_d
-                best_d = jnp.where(take, cd, best_d)
-                best_i = jnp.where(take, ci, best_i)
-        return best_i, best_d
-
+    n, m = support.shape[1], query.shape[1]
     ts = min(support_tile, _round_up(n, 128))
     qb = min(query_block, _round_up(m, 8))
 
     s_sorted, q_sorted, s_order, q_order = _morton_prepare(
         support, query, qb, ts
     )
-    idx_sorted, d2_sorted = _argmin_pallas_sorted(
-        s_sorted, q_sorted, qb, ts, interpret
+    idx_sorted, d2_sorted = argmin_pallas_presorted(
+        s_sorted, q_sorted, query_block, support_tile, interpret
     )
     return _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m)
 
@@ -538,6 +528,10 @@ def _knn_pallas_sorted(
     """KNN on Morton-sorted inputs; returns indices into the sorted support.
     support (B, N_pad, 3) with N_pad % ts == 0; query (B, M_pad, 3) with
     M_pad % qb == 0."""
+    assert ts <= 1024, (
+        f"support tile {ts} > 1024: the packed merge keys carry the lane "
+        "index in the low 10 bits"
+    )
     B, n_pad, _ = support.shape
     m_pad = query.shape[1]
     bbox, support_t, n_tiles = _tile_prep(support, ts)
@@ -687,13 +681,7 @@ def knn_pallas(
     m = query.shape[1]
     assert k <= n, f"k={k} exceeds support size {n}"
     assert k <= _KB, f"k={k} > {_KB} not supported by the pallas kernel"
-    if support_tile is None:
-        support_tile = 512 if n <= 8192 else 1024
-    if query_block is None:
-        query_block = 256 if m <= 8192 else 128
-
-    ts = min(support_tile, _round_up(n, 128))
-    qb = min(query_block, _round_up(m, 8))
+    qb, ts = _presorted_blocks(n, m, query_block, support_tile)
 
     s_sorted, q_sorted, s_order, q_order = _morton_prepare(
         support, query, qb, ts

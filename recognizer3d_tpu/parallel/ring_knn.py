@@ -31,6 +31,15 @@ except ImportError:  # pragma: no cover - older jax
 from recognizer3d_tpu.ops.knn import knn_naive
 
 
+def _vary(x, axis_name):
+    """Mark an array as varying over the mesh axis (shard_map typing; the
+    pcast/pvary API differs across jax versions)."""
+    try:
+        return lax.pcast(x, (axis_name,), to="varying")
+    except (AttributeError, TypeError):
+        return lax.pvary(x, (axis_name,))
+
+
 def _ring_knn_local(
     support_shard: jax.Array,
     query_shard: jax.Array,
@@ -60,15 +69,9 @@ def _ring_knn_local(
         return (new_d, new_i, visiting), None
 
     # mark the init carries as varying over the mesh axis (shard_map typing)
-    def _vary(x):
-        try:
-            return lax.pcast(x, (axis_name,), to="varying")
-        except (AttributeError, TypeError):
-            return lax.pvary(x, (axis_name,))
-
     init = (
-        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32)),
-        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32)),
+        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32), axis_name),
+        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32), axis_name),
         support_shard,
     )
     (best_d, best_i, _), _ = lax.scan(
@@ -142,16 +145,10 @@ def _ring_knn_gather_local(
         visiting_f = lax.ppermute(visiting_f, axis_name, perm)
         return (new_d, new_i, new_f, visiting, visiting_f), None
 
-    def _vary(x):
-        try:
-            return lax.pcast(x, (axis_name,), to="varying")
-        except (AttributeError, TypeError):
-            return lax.pvary(x, (axis_name,))
-
     init = (
-        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32)),
-        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32)),
-        _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype)),
+        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32), axis_name),
+        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32), axis_name),
+        _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype), axis_name),
         support_shard,
         feat_shard,
     )
@@ -225,13 +222,7 @@ def _ring_gather_local(
         visiting_f = lax.ppermute(visiting_f, axis_name, perm)
         return (out, visiting_f), None
 
-    def _vary(x):
-        try:
-            return lax.pcast(x, (axis_name,), to="varying")
-        except (AttributeError, TypeError):
-            return lax.pvary(x, (axis_name,))
-
-    init_out = _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype))
+    init_out = _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype), axis_name)
     (out, _), _ = lax.scan(
         step,
         (init_out, feat_shard),

@@ -63,6 +63,34 @@ class TestPredict:
         conf = tiny_model.predict(cloud)
         assert conf.shape == (2, 30)
 
+    def test_bucket_padding_does_not_change_results(self, tiny_model):
+        # proportional buckets pad the full cloud with zeros; padded rows
+        # are queries only and must not perturb the real points' output
+        from recognizer3d_tpu.models.facade import _bucket
+
+        rng = np.random.RandomState(1)
+        n = 5000  # not a bucket boundary
+        assert _bucket(n) != n
+        cloud = rng.randn(n, 3).astype(np.float32) * 0.1
+        conf = tiny_model.predict(cloud)
+        assert conf.shape == (2, n)
+        np.testing.assert_allclose(conf.sum(axis=0), 1.0, atol=1e-3)
+        # growing the cloud within / past the bucket boundary still works
+        for extra in (1, _bucket(n) - n + 1):
+            bigger = np.concatenate([cloud, cloud[:extra]], axis=0)
+            conf2 = tiny_model.predict(bigger)
+            assert conf2.shape == (2, n + extra)
+
+    def test_bucket_sizes_monotone_and_bounded(self):
+        from recognizer3d_tpu.models.facade import _bucket
+
+        prev = 0
+        for n in [1, 100, 4096, 4097, 30_000, 140_801, 160_998, 1_000_000]:
+            b = _bucket(n)
+            assert b >= n and b >= prev
+            assert b - n <= max(4096, n // 8)  # waste bounded
+            prev = b
+
     def test_no_prepostprocess(self, tiny_model):
         cloud = np.random.RandomState(0).randn(64, 3).astype(np.float32)
         conf = tiny_model.predict(cloud, prepostprocess=False)
