@@ -5,7 +5,6 @@ Usage: python benchmarks/ablate_forward.py [N]
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -119,8 +118,6 @@ def main():
     t(f"take_along_axis unsort @ {N}x32", go_taa, d2, perm[None])
 
     # ---- LFA non-KNN internals at level 0 (N x K=32) -------------------
-    from flax import linen as nn
-
     from recognizer3d_tpu.models.randlanet import (
         AttentivePooling,
         LocalFeatureAggregation,

@@ -5,7 +5,6 @@ Usage: python benchmarks/ablate_lfa.py [N]
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np

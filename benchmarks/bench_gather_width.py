@@ -4,7 +4,6 @@ Usage: python benchmarks/bench_gather_width.py
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np

@@ -5,7 +5,6 @@ Usage: python benchmarks/bench_window.py [N ...]
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np

@@ -17,7 +17,6 @@ baseline.
 import json
 import sys
 import time
-import types
 from pathlib import Path
 
 import numpy as np

@@ -19,7 +19,7 @@ Weight-for-weight compatible with the reference: see
 ``recognizer3d_tpu.models.torch_compat`` for the state-dict mapping.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,7 @@ from recognizer3d_tpu.ops.knn_pallas import invert_permutation, morton_order
 def _sort_rows(x: jax.Array, order: jax.Array) -> jax.Array:
     """Reorder the point dimension of (B, N, C) by (B, N) ``order``."""
     return jnp.take_along_axis(x, order[..., None], axis=1)
+
 
 # torch-style initialisation: kaiming_uniform(a=√5) on a 1×1 conv/linear
 # reduces to U(−1/√fan_in, 1/√fan_in) for both kernel and bias.

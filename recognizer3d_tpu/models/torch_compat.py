@@ -19,7 +19,7 @@ torch state_dict (torch is only imported for deserialising reference
 archives, never for compute).
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

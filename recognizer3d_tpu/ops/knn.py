@@ -31,7 +31,6 @@ matching the reference's ``(neighbors, distances_sq)`` return
 (knn.py:7-24). Squared distances are clamped to >= 0 (knn.py:54).
 """
 
-import functools
 from typing import Optional, Tuple
 
 import jax

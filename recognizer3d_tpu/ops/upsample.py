@@ -16,7 +16,6 @@ Runs fully on device through ops/knn.py (query-blocked for the ~150k-point
 live clouds so the distance tiles stay VMEM-sized).
 """
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ lexicographic name in the models dir, :38-42)."""
 import tkinter as tk
 from pathlib import Path
 from tkinter import ttk
-from typing import Callable, Optional
+from typing import Callable
 
 
 class TrainFrame(tk.Frame):

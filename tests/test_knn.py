@@ -261,6 +261,26 @@ class TestKnnWindow:
             np.asarray(d2_back), np.asarray(d2_u), atol=1e-6
         )
 
+    def test_presorted_dispatch_large_approximate(self, monkeypatch):
+        """knn_presorted routes big-support 'approximate' to the presorted
+        window search (indices into the GIVEN support order)."""
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 2000)
+        rng = np.random.RandomState(6)
+        s = jnp.asarray(rng.rand(1, 4096, 3).astype(np.float32))
+        order = morton_order(s)
+        s_sorted = jnp.take_along_axis(s, order[..., None], axis=1)
+        idx, d2 = knn_mod.knn_presorted(s_sorted, s_sorted, 4, "approximate")
+        assert idx.shape == (1, 4096, 4)
+        # the self-neighbour must be found (distance ~0 up to the matmul
+        # formula's cancellation noise), with indices in the GIVEN order
+        assert float(jnp.max(d2[..., 0])) < 1e-5
+        self_found = np.any(
+            np.asarray(idx[0]) == np.arange(4096)[:, None], axis=1
+        )
+        assert self_found.all()
+
     def test_dispatch_large_approximate(self, monkeypatch):
         import recognizer3d_tpu.ops.knn as knn_mod
 
