@@ -109,6 +109,21 @@ def main():
     t64b = _device_time(fwd64, (model64.variables, x64b, perm64), iters=4)
     clouds_per_sec_b4 = 4.0 / t64b
 
+    # the reference's DEFAULT settings use knn="approximate" (modules.py:44
+    # of the reference) — on TPU that routes to the Morton-window search at
+    # this scale; report it alongside the exact-KNN primary
+    settings64a = RandLANetSettings(
+        n_classes=2, n_features=0, knn="approximate", n_points=65536,
+        n_neighbors=32, decimation=4,
+    )
+    model64a = Model(settings64a, seed=0)
+
+    def fwd64a(c, variables, x, perm):
+        logits = model64a._forward_jit(variables, x + c * 1e-12, perm)
+        return jnp.float32(jnp.max(logits))
+
+    t64a = _device_time(fwd64a, (model64a.variables, x64, perm64), iters=10)
+
     # ------------------------------------------------------------------
     # extras: app-config single-frame predict (mock cloud) + 8-frame batch
     # ------------------------------------------------------------------
@@ -254,6 +269,8 @@ def main():
         "forward_64k_ms": t64 * 1000,
         "batch1_64k_clouds_per_sec": clouds_per_sec,
         "batch4_64k_clouds_per_sec_per_cloud": clouds_per_sec_b4,
+        "forward_64k_ms_reference_default_knn": t64a * 1000,
+        "clouds_per_sec_64k_reference_default_knn": 1.0 / t64a,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
         "predict_device_ms_appconfig": predict_device * 1000,
         "live_depth_predict_p50_ms": live_p50 * 1000,
