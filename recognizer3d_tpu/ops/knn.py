@@ -284,8 +284,12 @@ def knn_window(
         )
     w = min(window_points, n)
     # static per-block window starts: the block's centre position on the
-    # query curve, mapped proportionally onto the support curve
-    centers = ((np.arange(n_blocks) + 0.5) * qb) * (n / m)
+    # query curve, mapped proportionally onto the support curve. Clamp to
+    # the REAL query range first: the final block is padded with copies of
+    # the last query, and for m << query_block the unclamped padded centre
+    # would overshoot the end of the support curve and search a window far
+    # from the true neighbourhood.
+    centers = np.minimum((np.arange(n_blocks) + 0.5) * qb, m - 0.5) * (n / m)
     starts = np.clip(np.round(centers - w / 2), 0, n - w).astype(np.int32)
     starts_j = jnp.asarray(starts)
 
@@ -388,8 +392,16 @@ def knn(
             return knn_tiled(support, query, k)
         return knn_naive(support, query, k)
     elif approach == "approximate":
-        if support.shape[1] > _WINDOW_MIN_SUPPORT:
-            # IVF-style locality search: O(M·window) instead of O(M·N)
+        if (
+            support.shape[1] > _WINDOW_MIN_SUPPORT
+            and support.shape[1] * query.shape[1] > _NAIVE_MAX_MN
+        ):
+            # IVF-style locality search: O(M·window) instead of O(M·N).
+            # Only worth the recall trade when the full distance matrix is
+            # genuinely too big; for small query sets vs a big support the
+            # O(M·N) approx_min_k is cheap AND near-exact (the window's
+            # proportional query→support curve mapping assumes query
+            # density ≈ support density, which breaks when M ≪ N).
             return knn_window(support, query, k)
         return knn_approximate(support, query, k)
     elif approach == "pallas":
@@ -438,7 +450,11 @@ def knn_presorted(
         from recognizer3d_tpu.ops.knn_pallas import knn_pallas_presorted
 
         return knn_pallas_presorted(support, query, k)
-    elif approach == "approximate" and support.shape[1] > _WINDOW_MIN_SUPPORT:
+    elif (
+        approach == "approximate"
+        and support.shape[1] > _WINDOW_MIN_SUPPORT
+        and support.shape[1] * query.shape[1] > _NAIVE_MAX_MN
+    ):
         return knn_window(support, query, k, presorted=True)
     # small-N approximate / kdtree are order-agnostic
     return knn(support, query, k, approach)

@@ -238,6 +238,20 @@ class TestKnnWindow:
             ref = np.sum((pts - qn[b][:, None, :]) ** 2, axis=-1)
             np.testing.assert_allclose(np.asarray(d2)[b], ref, atol=1e-5)
 
+    def test_small_query_big_support_dispatch_recall(self):
+        """knn(approximate) with a big support but a tiny query must not
+        route through the Morton window: the window's proportional curve
+        mapping assumes query density ~ support density and its recall
+        collapses when M << N. The dispatch sends small M·N to the full
+        approx_min_k instead (ops/knn.py)."""
+        rng = np.random.RandomState(7)
+        s = jnp.asarray(rng.rand(1, 40_000, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 100, 3).astype(np.float32))
+        idx, d2 = knn(s, q, 8, "approximate")
+        assert idx.shape == (1, 100, 8)
+        assert self._recall(idx, s, q, 8) > 0.9
+
+
     def test_small_support_falls_back(self):
         rng = np.random.RandomState(3)
         s = jnp.asarray(rng.rand(1, 600, 3).astype(np.float32))
@@ -293,11 +307,33 @@ class TestKnnWindow:
 
         monkeypatch.setattr(knn_mod, "knn_window", spy)
         monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 4000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 500_000)
         rng = np.random.RandomState(5)
         s = jnp.asarray(rng.rand(1, 5000, 3).astype(np.float32))
         q = jnp.asarray(rng.rand(1, 200, 3).astype(np.float32))
         knn_mod.knn(s, q, 4, "approximate")
         assert calls.get("hit")
+
+    def test_dispatch_small_query_avoids_window(self, monkeypatch):
+        """Big support + tiny query must NOT use the window search (its
+        proportional curve mapping breaks when M << N, collapsing recall);
+        small M*N goes to the full approx_min_k instead."""
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        calls = {}
+        orig = knn_mod.knn_window
+
+        def spy(*a, **kw):
+            calls["hit"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(knn_mod, "knn_window", spy)
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 4000)
+        rng = np.random.RandomState(5)
+        s = jnp.asarray(rng.rand(1, 5000, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 200, 3).astype(np.float32))
+        knn_mod.knn(s, q, 4, "approximate")
+        assert not calls.get("hit")
 
 
 class TestUpsample:
