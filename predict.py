@@ -1,11 +1,13 @@
 """Prediction CLI + Predictor.
 
-Surface parity with the reference ``predict.py``: ``Predictor`` (model load,
-warmup predict because the first call compiles — the reference's
-"first prediction is always much slower" comment, predict.py:22-24 — and a
-boolean mask from class-1 confidence > threshold, predict.py:26-31), a
-blocking per-sample ``visualize()`` (vispy, optional) and the identical
-argparse CLI (predict.py:84-125).
+Behaviour contract with the reference ``predict.py`` (SURVEY.md §2.11,
+§3.4): ``Predictor`` loads a model archive, immediately runs a throwaway
+prediction (the first call jit-compiles the forward program — "first
+prediction is always much slower"), and turns class-1 confidences into a
+boolean mask at a threshold; the CLI walks the given datasets showing
+each sample in a blocking window (Enter = next, Escape = stop) with red
+data / green prediction / blue annotation / white overlap, or prints
+stats with ``--no-viz``.
 """
 
 from pathlib import Path
@@ -14,36 +16,49 @@ import numpy as np
 
 from recognizer3d_tpu import Dataset, DatasetMerged, Model
 
+_FOREGROUND_CLASS = 1  # class 0 is background
+
 
 class Predictor:
+    """A loaded, warmed-up model producing boolean per-point masks."""
+
     def __init__(
         self, model_path: Path, confidence_threshold: float = 0.5
     ) -> None:
+        self.confidence_threshold = float(confidence_threshold)
         self._model = Model.load(Path(model_path), use_gpu=True)
-        self.confidence_threshold: float = confidence_threshold
-        # warmup: triggers jit compilation of the forward program so the
-        # live loop's first real frame isn't slow (predict.py:22-24)
-        dummy_cloud = np.random.random((30, 3))
-        self._model.predict(dummy_cloud)
+        self._warm_up()
+
+    def _warm_up(self) -> None:
+        """Trigger jit compilation so the first real frame isn't slow."""
+        self._model.predict(np.random.random((30, 3)))
 
     def predict(self, point_cloud: np.ndarray) -> np.ndarray:
-        confidences_all_classes = self._model.predict(point_cloud)
-        confidences = confidences_all_classes[1, :]  # class 0 is background
-        return confidences > self.confidence_threshold
+        """(N,) bool: foreground confidence above the threshold."""
+        per_class = self._model.predict(point_cloud)
+        return per_class[_FOREGROUND_CLASS, :] > self.confidence_threshold
+
+
+_HELP_TEXT = (
+    "red: captured data \n"
+    "green: prediction from the model \n"
+    "blue: annotation \n"
+    "white: overlap of all three above \n"
+    "Press enter for next sample. Press escape to stop."
+)
 
 
 def visualize(
     point_cloud: np.ndarray, annotation: np.ndarray, prediction: np.ndarray
 ) -> bool:
-    """Blocking vispy window for one sample; Enter = next, Escape = stop
-    (predict.py:34-81). Returns True when the user asked to stop."""
+    """Show one sample in a blocking vispy window; returns True when the
+    user pressed Escape (stop iterating)."""
     import vispy
     import vispy.app
     import vispy.scene
 
-    from recognizer3d_tpu.ui import Label, VispyView
+    from recognizer3d_tpu.ui.scene import CloudPanel, TextOverlay
 
-    do_break = False
     canvas = vispy.scene.SceneCanvas(
         title="visualization 3D",
         keys="interactive",
@@ -52,40 +67,33 @@ def visualize(
         size=(1000, 600),
         position=(0, 0),
     )
+    stop_requested = False
 
-    def process_key(event):
-        nonlocal do_break
+    def on_key(event):
+        nonlocal stop_requested
         if event.key == vispy.keys.ESCAPE:
-            do_break = True
+            stop_requested = True
             vispy.app.quit()
         elif event.key == vispy.keys.ENTER:
             vispy.app.quit()
 
-    canvas.events.key_press.connect(process_key)
+    canvas.events.key_press.connect(on_key)
 
-    view = canvas.central_widget.add_view()
-    vispy_view = VispyView(view, None)
-    vispy_view.point_cloud = point_cloud
-    vispy_view.annotation = annotation
-    vispy_view.prediction = prediction
-
-    help_text = (
-        "red: captured data \n"
-        "green: prediction from the model \n"
-        "blue: annotation \n"
-        "white: overlap of all three above \n"
-        "Press enter for next sample. Press escape to stop."
+    panel = CloudPanel(canvas.central_widget.add_view())
+    panel.show_cloud(point_cloud)
+    panel.set_overlay("annotation", annotation)
+    panel.set_overlay("prediction", prediction)
+    canvas.central_widget.add_widget(
+        TextOverlay(
+            _HELP_TEXT, color="white", anchor_x="left", anchor_y="bottom"
+        )
     )
-    help_label = Label(
-        help_text, color="white", anchor_x="left", anchor_y="bottom"
-    )
-    canvas.central_widget.add_widget(help_label)
     canvas.show(visible=True)
     vispy.app.run()
-    return do_break
+    return stop_requested
 
 
-if __name__ == "__main__":
+def _cli() -> None:
     from argparse import ArgumentParser
 
     parser = ArgumentParser(
@@ -127,20 +135,18 @@ if __name__ == "__main__":
     args = parser.parse_args()
     project_dir = Path(__file__).absolute().parent
 
-    predictor = Predictor(
-        project_dir / args.model, confidence_threshold=args.confidence
+    predictor = Predictor(project_dir / args.model, args.confidence)
+    samples = DatasetMerged(
+        [
+            Dataset(
+                project_dir / name,
+                only_annotated=False,
+                broaden_annotations=True,
+            )
+            for name in args.dataset
+        ]
     )
-    datasets = [
-        Dataset(
-            project_dir / dataset_name,
-            only_annotated=False,
-            broaden_annotations=True,
-        )
-        for dataset_name in args.dataset
-    ]
-    dataset = DatasetMerged(datasets)
-
-    for point_cloud, features, annotation in dataset:
+    for point_cloud, _features, annotation in samples:
         prediction = predictor.predict(point_cloud)
         if args.no_viz:
             print(
@@ -148,7 +154,9 @@ if __name__ == "__main__":
                 f"predicted positives: {int(prediction.sum())}, "
                 f"annotated positives: {int(annotation.sum())}"
             )
-            continue
-        do_break = visualize(point_cloud, annotation, prediction)
-        if do_break:
+        elif visualize(point_cloud, annotation, prediction):
             break
+
+
+if __name__ == "__main__":
+    _cli()

@@ -1,115 +1,112 @@
 """Intel RealSense L515 camera backend.
 
-Behavioural parity with ``/root/reference/camera/realsense_camera.py``:
-depth stream 1024×768 z16 @ 30 fps, temporal filter (0.33, 100, 0), the same
-depth-sensor options, depth-frame → point cloud via the SDK, z-band filter
-0.05 < z < 0.6, and the mean-z sanity check that raises
-"No valid frame received." on bad frames (realsense_camera.py:47-52,
-117-121). The pyrealsense2 import is deferred to construction so the module
-imports cleanly on machines without the SDK (the TPU host).
+Behaviour contract with the reference camera layer (SURVEY.md §2.2):
+depth stream 1024×768 z16 @ 30 fps with the SDK temporal filter
+(smoothing 0.33 / delta 100 / persistence 0) and the same depth-sensor
+option values; ``get()`` converts the newest depth frame to a point
+cloud through the SDK, keeps only the 0.05 m < z < 0.6 m band, and
+raises "No valid frame received." when the mean depth looks implausible
+(> 2 m — e.g. the sensor staring past the desk). The pyrealsense2
+import happens at construction so this module imports cleanly on hosts
+without the SDK (the TPU pod).
 
-TPU-native note: only the SDK dewarp stays on the host; the downstream
-z-filter → subsample → normalize preprocessing for inference is also
-available device-resident in ``recognizer3d_tpu.data.pipeline`` (the
-BASELINE.json "device-resident preproc" goal), while this class keeps the
-simple host path for API parity.
+TPU-native note: only the SDK dewarp stays host-side; the downstream
+z-filter → subsample → normalize inference preprocessing also exists
+device-resident in ``recognizer3d_tpu.data.pipeline``.
 """
 
 import numpy as np
 
 from recognizer3d_tpu.camera.base_camera import Camera
 
-Z_MIN, Z_MAX = 0.05, 0.6
-
-
-def _import_rs():
-    from pyrealsense2 import pyrealsense2 as rs  # noqa: WPS433
-
-    return rs
+DEPTH_STREAM = dict(width=1024, height=768, fps=30)
+Z_BAND = (0.05, 0.6)  # metres
+_MAX_PLAUSIBLE_MEAN_Z = 2.0
+_TEMPORAL_FILTER = (0.33, 100.0, 0.0)  # smoothing, delta, persistence
+# option name -> value, applied to the depth sensor before streaming
+_DEPTH_SENSOR_OPTIONS = {
+    "min_distance": 0,
+    "digital_gain": 1.0,
+    "laser_power": 100,
+    "receiver_gain": 9,
+    "noise_filtering": 6,
+}
 
 
 class RealsenseCamera(Camera):
     def __init__(self, name: str, device_serial: str):
         super().__init__(name)
-        rs = _import_rs()
+        from pyrealsense2 import pyrealsense2 as rs
+
         self._rs = rs
-        self._realsense_config = rs.config()
-        self._context = rs.context()
-        self._pipeline = rs.pipeline(self._context)
         self._serial = device_serial
+        self._dewarp = rs.pointcloud()
+        self._temporal = rs.temporal_filter(*_TEMPORAL_FILTER)
 
-        self._realsense_config.enable_device(device_serial)
-        self._realsense_config.enable_stream(
-            rs.stream.depth, 1024, 768, rs.format.z16, 30
+        config = rs.config()
+        config.enable_device(device_serial)
+        config.enable_stream(
+            rs.stream.depth,
+            DEPTH_STREAM["width"],
+            DEPTH_STREAM["height"],
+            rs.format.z16,
+            DEPTH_STREAM["fps"],
         )
-        # smoothing factor / delta / persistence — reference values
-        self._temporal_filter = rs.temporal_filter(0.33, 100, 0)
-        self._pc_process = rs.pointcloud()
-
-        pipeline_wrapper = rs.pipeline_wrapper(self._pipeline)
-        self._pipeline_profile = self._realsense_config.resolve(pipeline_wrapper)
-        device = self._pipeline_profile.get_device()
-        if str(device.get_info(rs.camera_info.product_line)) != "L500":
+        self._config = config
+        self._pipeline = rs.pipeline(rs.context())
+        self._profile = config.resolve(rs.pipeline_wrapper(self._pipeline))
+        product_line = self._profile.get_device().get_info(
+            rs.camera_info.product_line
+        )
+        if str(product_line) != "L500":
             raise Exception("Expected an L515 camera")
 
     @property
     def serial(self) -> str:
         return self._serial
 
-    @staticmethod
-    def _validate_point_cloud(point_cloud: np.ndarray) -> bool:
-        """Mean z of non-zero points must stay below 2 m
-        (realsense_camera.py:47-52)."""
-        non_zeros = point_cloud[~np.all(point_cloud == 0.0, axis=1)]
-        return float(np.mean(non_zeros[:, 2])) < 2
-
-    def _configure_device(self) -> None:
-        rs = self._rs
-        device = self._pipeline_profile.get_device()
-        depth_sensor = device.first_depth_sensor()
-        depth_sensor.set_option(rs.option.min_distance, 0)
-        depth_sensor.set_option(rs.option.digital_gain, 1.0)
-        depth_sensor.set_option(rs.option.laser_power, 100)
-        depth_sensor.set_option(rs.option.receiver_gain, 9)
-        depth_sensor.set_option(rs.option.noise_filtering, 6)
-
     def start(self) -> None:
-        """Start the pipeline (the lidar starts emitting)."""
+        """Configure the depth sensor and start streaming (laser on)."""
         if self._running:
             return
-        self._configure_device()
-        self._pipeline.start(self._realsense_config)
+        sensor = self._profile.get_device().first_depth_sensor()
+        for option, value in _DEPTH_SENSOR_OPTIONS.items():
+            sensor.set_option(getattr(self._rs.option, option), value)
+        self._pipeline.start(self._config)
         super().start()
 
     def stop(self) -> None:
-        """Stop all streams (lasers off)."""
+        """Stop streaming (laser off)."""
         if not self._running:
             return
         self._pipeline.stop()
         super().stop()
 
     def get(self, timeout_ms: int = 200) -> np.ndarray:
-        """Fetch the latest point cloud; raises when no/invalid frame arrives
-        within the timeout (realsense_camera.py:90-125)."""
+        """Newest point cloud, z-band filtered; raises on missing or
+        implausible frames."""
         if not self._running:
             raise Exception("Realsense pipeline is not running.")
-        success, frames = self._pipeline.try_wait_for_frames(
-            timeout_ms=timeout_ms
-        )
-        if not success:
+        ok, frames = self._pipeline.try_wait_for_frames(timeout_ms=timeout_ms)
+        if not ok:
             raise Exception("No frame received.")
-        depth_frame = frames.get_depth_frame()
-        if self._temporal_filter is not None:
-            depth_frame = self._temporal_filter.process(depth_frame)
-        points_data = self._pc_process.calculate(depth_frame)
-        points = (
-            np.asanyarray(points_data.get_vertices())
-            .view(np.float32)
-            .reshape(-1, 3)
-        )
-        in_band = (points[:, 2] > Z_MIN) & (points[:, 2] < Z_MAX)
-        cloud = points[in_band]
-        if not self._validate_point_cloud(cloud):
+        cloud = self._frame_to_cloud(frames.get_depth_frame())
+        if not _plausible(cloud):
             raise Exception("No valid frame received.")
         self._last_cloud = cloud
         return cloud
+
+    def _frame_to_cloud(self, depth_frame) -> np.ndarray:
+        """SDK dewarp to (N, 3) xyz, then keep the working z band."""
+        if self._temporal is not None:
+            depth_frame = self._temporal.process(depth_frame)
+        vertices = self._dewarp.calculate(depth_frame).get_vertices()
+        xyz = np.asanyarray(vertices).view(np.float32).reshape(-1, 3)
+        z = xyz[:, 2]
+        return xyz[(z > Z_BAND[0]) & (z < Z_BAND[1])]
+
+
+def _plausible(cloud: np.ndarray) -> bool:
+    """Mean z of the non-zero points must stay under 2 m."""
+    nonzero = cloud[~np.all(cloud == 0.0, axis=1)]
+    return float(np.mean(nonzero[:, 2])) < _MAX_PLAUSIBLE_MEAN_Z

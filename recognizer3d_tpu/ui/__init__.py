@@ -1,19 +1,18 @@
-"""UI layer: Tk + vispy capture/annotate/train/predict widgets (parity with
-``/root/reference/ui/__init__.py``).
+"""UI layer: the Tk control bar + vispy cloud panels (SURVEY.md §2.10).
 
-Imports are lazy (PEP 562) so the package works on headless hosts without
-vispy/tkinter — only touching a widget class requires them. The pure
-annotation-picking logic is importable unconditionally from
+Imports are lazy (PEP 562) so the package works on headless hosts
+without vispy/tkinter — only touching a widget requires them. The pure
+annotation-picking math is importable unconditionally from
 ``recognizer3d_tpu.ui.annotation``.
 """
 
 _LAZY = {
-    "VispyView": "recognizer3d_tpu.ui.vispy_view",
-    "VispyCanvas": "recognizer3d_tpu.ui.vispy_canvas",
-    "DataCapturingFrame": "recognizer3d_tpu.ui.data_capturing_frame",
-    "PredictionFrame": "recognizer3d_tpu.ui.prediction_frame",
-    "TrainFrame": "recognizer3d_tpu.ui.train_frame",
-    "Label": "recognizer3d_tpu.ui.label",
+    "CloudPanel": "recognizer3d_tpu.ui.scene",
+    "TextOverlay": "recognizer3d_tpu.ui.scene",
+    "Triptych": "recognizer3d_tpu.ui.scene",
+    "build_triptych": "recognizer3d_tpu.ui.scene",
+    "AppActions": "recognizer3d_tpu.ui.controls",
+    "ControlBar": "recognizer3d_tpu.ui.controls",
 }
 
 __all__ = list(_LAZY)

@@ -201,3 +201,39 @@ class TestMetrics:
         assert d["val_OA"] == 0.75
         assert d["val_mIoU"] == 0.5
         assert d["val_bg IoU"] == 0.5
+
+
+class TestEarlyStopper:
+    def _stopper(self, patience=2):
+        from recognizer3d_tpu.training.early_stopper import EarlyStopper
+
+        return EarlyStopper(patience=patience, metric="val_mIoU")
+
+    def test_snapshots_best_and_stops_after_patience(self):
+        es = self._stopper(patience=2)
+        assert es.check({"val_mIoU": 0.5}, {"w": 1})
+        assert es.check({"val_mIoU": 0.7}, {"w": 2})
+        assert es.check({"val_mIoU": 0.6}, {"w": 3})  # stale 1/2
+        assert not es.check({"val_mIoU": 0.6}, {"w": 4})  # stale 2/2 -> stop
+        assert es.best_variables == {"w": 2}
+
+    def test_tie_counts_as_improvement(self):
+        es = self._stopper(patience=1)
+        assert es.check({"val_mIoU": 0.5}, {"w": 1})
+        assert es.check({"val_mIoU": 0.5}, {"w": 2})  # tie resets staleness
+        assert es.best_variables == {"w": 2}  # last of the equally-good
+
+    def test_unknown_metric_never_stops(self):
+        es = self._stopper(patience=1)
+        for _ in range(5):
+            assert es.check({"loss": 1.0}, {"w": 0})
+        assert es.best_variables is None
+
+    def test_min_mode(self):
+        from recognizer3d_tpu.training.early_stopper import EarlyStopper
+
+        es = EarlyStopper(patience=1, metric="val_loss", mode="min")
+        assert es.check({"val_loss": 1.0}, {"w": 1})
+        assert es.check({"val_loss": 0.5}, {"w": 2})
+        assert not es.check({"val_loss": 0.9}, {"w": 3})
+        assert es.best_variables == {"w": 2}

@@ -1,5 +1,5 @@
 """UI annotation-picking logic (vispy-free) and the training progress
-contract (ProgressTracker)."""
+contract (TrainingJob)."""
 
 import multiprocessing
 import time
@@ -56,53 +56,59 @@ class TestAnnotationPicking:
         assert display_subsample(small).shape == (5, 3)
 
 
-def _fake_train(tracker):
+def _fake_train(progress_queue):
     for pct in (25, 50, 100):
-        tracker.set_progress(pct)
+        progress_queue.put(pct)
         time.sleep(0.05)
 
 
-class TestProgressTracker:
+class TestTrainingJobProgress:
+    """The one-way int-percentage progress contract (reference
+    train.py:14-42): latest value wins, never 100 while the process is
+    alive, always 100 once it has died."""
+
     def test_progress_contract(self):
-        from train import ProgressTracker
+        from train import TrainingJob
 
         ctx = multiprocessing.get_context("spawn")
-        tracker = ProgressTracker(ctx.Queue())
-        p = ctx.Process(target=_fake_train, args=(tracker,))
+        q = ctx.Queue()
+        p = ctx.Process(target=_fake_train, args=(q,))
         p.start()
-        tracker.calling_process = p
+        job = TrainingJob(p, q)
         saw_mid = False
         deadline = time.time() + 30
         while time.time() < deadline:
-            progress = tracker.check_progress()
+            progress = job.poll()
             if 0 < progress < 100:
                 saw_mid = True
             if progress == 100:
                 break
             time.sleep(0.05)
         p.join(10)
-        assert tracker.check_progress() == 100
+        assert job.poll() == 100
         assert saw_mid or True  # timing-dependent; completion is the contract
 
     def test_dead_process_forces_100(self):
-        from train import ProgressTracker
+        from train import TrainingJob
 
         ctx = multiprocessing.get_context("spawn")
-        tracker = ProgressTracker(ctx.Queue())
-        tracker.calling_process = None
-        assert tracker.check_progress() == 100
+        assert TrainingJob(None, ctx.Queue()).poll() == 100
 
     def test_premature_100_clamped_while_alive(self):
-        from train import ProgressTracker
-
-        ctx = multiprocessing.get_context("spawn")
-        tracker = ProgressTracker(ctx.Queue())
+        from train import TrainingJob
 
         class FakeAlive:
             def is_alive(self):
                 return True
 
-        tracker.calling_process = FakeAlive()
-        tracker.set_progress(100)
+        ctx = multiprocessing.get_context("spawn")
+        q = ctx.Queue()
+        job = TrainingJob(FakeAlive(), q)
+        q.put(100)
         time.sleep(0.2)  # let the queue feeder flush
-        assert tracker.check_progress() == 99
+        assert job.poll() == 99
+
+    def test_kill_is_safe_without_process(self):
+        from train import TrainingJob
+
+        TrainingJob(None, None).kill()

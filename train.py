@@ -1,19 +1,22 @@
-"""Training CLI + async training orchestration.
+"""Training CLI + background-training orchestration.
 
-Surface parity with the reference ``train.py``: the ``train()`` recipe
-(hardcoded app config, reference train.py:50-59), ``train_async()`` +
-``ProgressTracker`` (spawned process with int-percentage progress over a
-Queue, train.py:14-42,108-115), the TensorBoard server launch
-(train.py:82-85) and the identical argparse CLI (train.py:118-148).
+Behaviour contract with the reference ``train.py`` (SURVEY.md §2.11):
+the app training recipe (broadened annotations, merged datasets, 80/20
+split, the hardcoded app model config, TensorBoard server on
+``training_log/``, model saved to ``models/<timestamp>``), training in a
+spawned process that reports int-percentage progress over a one-way
+queue (clamped to 99 while the process lives, forced to 100 once it
+exits), and the same ``-d/--dataset`` CLI.
 
-The training itself runs the TPU-native engine (jit-compiled fwd/bwd/Adam
-step — recognizer3d_tpu/training/trainer.py).
+The engine underneath is the TPU-native trainer
+(recognizer3d_tpu/training/trainer.py: one jit-compiled fwd/bwd/Adam
+step over the device mesh).
 """
 
+import queue as queue_mod
 from datetime import datetime
-from multiprocessing import Process, Queue, set_start_method
+from multiprocessing import get_context
 from pathlib import Path
-from queue import Empty
 from typing import List, Optional
 
 from recognizer3d_tpu import (
@@ -25,70 +28,14 @@ from recognizer3d_tpu import (
     TrainingSettings,
 )
 
-
-class ProgressTracker:
-    """One-way int-percentage progress channel between the training process
-    and the caller (reference train.py:14-42): drains the queue, clamps a
-    premature 100 to 99 while the process is alive, forces 100 once it dies.
-    """
-
-    def __init__(self, queue: Queue):
-        self._queue = queue
-        self.calling_process: Optional[Process] = None
-        self.progress_cache: int = 1
-
-    def set_progress(self, value: int) -> None:
-        self._queue.put(value)
-
-    def check_progress(self) -> int:
-        last_progress = self.progress_cache
-        while True:
-            try:
-                last_progress = self._queue.get_nowait()
-            except Empty:
-                break
-        if last_progress == 100:
-            if self.calling_process is not None:
-                if self.calling_process.is_alive():
-                    last_progress = 99
-        if self.calling_process is None or not self.calling_process.is_alive():
-            last_progress = 100
-        self.progress_cache = last_progress
-        return last_progress
+CLASS_NAMES = ["background", "fingerpoint"]
+MODELS_DIR = Path("models")
+LOG_ROOT = Path("training_log")
 
 
-def _timestamp() -> str:
-    return Dataset.timestamp(datetime.now())
-
-
-def _launch_tensorboard(logdir: str) -> None:
-    """Launch a TensorBoard server like the reference (train.py:82-85);
-    silently skipped when tensorboard isn't installed."""
-    try:
-        import tensorboard  # noqa: WPS433
-
-        tb = tensorboard.program.TensorBoard()
-        tb.configure(argv=[None, "--logdir", logdir])
-        tb.launch()
-    except Exception:
-        pass
-
-
-def train(
-    dataset_names: List[Path], tracker: Optional[ProgressTracker] = None
-) -> None:
-    """App-level training recipe (reference train.py:45-105): broadened
-    annotations, merged datasets, 80/20 split, the hardcoded app config,
-    progress callback as int(100·epoch/epochs), model saved to
-    ``models/<timestamp>``."""
-    datasets = [
-        Dataset(dataset_name, broaden_annotations=True)
-        for dataset_name in dataset_names
-    ]
-    dataset_merged = DatasetMerged(datasets)
-    train_dataset, validation_dataset = dataset_merged.split()
-
-    settings = RandLANetSettings(
+def app_model_config() -> RandLANetSettings:
+    """The hardcoded production model config (reference train.py:50-51)."""
+    return RandLANetSettings(
         n_classes=2,
         n_features=0,
         knn="naive",
@@ -96,15 +43,84 @@ def train(
         n_neighbors=32,
         decimation=4,
     )
-    model = Model(settings, use_gpu=True)
 
-    training_settings = TrainingSettings(
+
+def app_training_config() -> TrainingSettings:
+    """The hardcoded app training recipe (reference train.py:54-59)."""
+    return TrainingSettings(
         epochs=50,
         batch_size=4,
         learning_rate=1e-2,
         early_stopping=False,
     )
-    augmentation_settings = AugmentationSettings(
+
+
+class TrainingJob:
+    """A training run in a spawned process, observable via ``poll()``.
+
+    Progress flows one way: the child pushes int percentages into a
+    queue; ``poll()`` drains it and reports the latest value, never
+    showing 100 while the child is still alive (saving the model happens
+    after the last epoch) and always 100 once it has exited.
+    """
+
+    def __init__(self, process=None, progress_queue=None):
+        self._process = process
+        self._queue = progress_queue
+        self._latest = 1
+
+    @classmethod
+    def launch(cls, dataset_dirs: List[Path]) -> "TrainingJob":
+        """Start training ``dataset_dirs`` in a fresh spawned process."""
+        ctx = get_context("spawn")
+        progress_queue = ctx.Queue()
+        process = ctx.Process(
+            target=run_training, args=(dataset_dirs, progress_queue)
+        )
+        process.start()
+        return cls(process, progress_queue)
+
+    def poll(self) -> int:
+        """Latest progress percentage in [1, 100]; 100 means finished."""
+        if self._queue is not None:
+            while True:
+                try:
+                    self._latest = self._queue.get_nowait()
+                except queue_mod.Empty:
+                    break
+        if self._process is None or not self._process.is_alive():
+            return 100
+        return min(self._latest, 99)
+
+    def kill(self) -> None:
+        """Hard-stop the training process (app shutdown path)."""
+        if self._process is not None and self._process.is_alive():
+            self._process.kill()
+            self._process.join()
+
+
+def _start_tensorboard_server(logdir: Path) -> None:
+    """Serve ``logdir`` like the reference app does (train.py:82-85);
+    quietly skipped when tensorboard isn't available."""
+    try:
+        import tensorboard
+
+        server = tensorboard.program.TensorBoard()
+        server.configure(argv=[None, "--logdir", str(logdir)])
+        server.launch()
+    except Exception:
+        pass
+
+
+def run_training(dataset_dirs: List[Path], progress_queue=None) -> Path:
+    """The app training recipe; returns the saved model path."""
+    merged = DatasetMerged(
+        [Dataset(d, broaden_annotations=True) for d in dataset_dirs]
+    )
+    train_split, val_split = merged.split()
+
+    training = app_training_config()
+    augmentation = AugmentationSettings(
         jitter_variance=0.01,
         jitter_limit=0.05,
         scale_limit=0.2,
@@ -113,47 +129,37 @@ def train(
         rotation_angle_limits=(0.18, 0.18, 0.18),
     )
 
-    now_str = _timestamp()
-    log_dir = Path(f"training_log/{now_str}")
-    _launch_tensorboard("training_log")
-
-    def progress_callback(epoch, metrics):
-        if tracker is not None:
-            tracker.set_progress(int(100 * epoch / training_settings.epochs))
-
+    run_name = Dataset.timestamp(datetime.now())
+    log_dir = LOG_ROOT / run_name
+    _start_tensorboard_server(LOG_ROOT)
     print(f"\nStarting training and logging at {log_dir} ...")
-    print(f"Training settings are: {training_settings}")
-    print(f"Augmentation settings are: {augmentation_settings}\n")
+    print(f"Training settings are: {training}")
+    print(f"Augmentation settings are: {augmentation}\n")
+
+    def report_progress(epoch: int, metrics) -> None:
+        if progress_queue is not None:
+            progress_queue.put(int(100 * epoch / training.epochs))
+
+    model = Model(app_model_config(), use_gpu=True)
     model.train(
-        train_dataset,
-        validation_dataset,
-        training_settings,
-        augmentation_settings,
+        train_split,
+        val_split,
+        training,
+        augmentation,
         log_dir,
-        ["background", "fingerpoint"],
-        callbacks=[progress_callback],
+        CLASS_NAMES,
+        callbacks=[report_progress],
     )
-    model_path = Path("models") / now_str
+
+    model_path = MODELS_DIR / run_name
     model.save(model_path)
     print(f"\nModel saved to {model_path}")
+    return model_path
 
 
-def train_async(dataset_names: List[Path]) -> ProgressTracker:
-    """Spawn a training process; the caller polls the returned tracker
-    (reference train.py:108-115)."""
-    try:
-        set_start_method("spawn")
-    except RuntimeError:
-        pass  # start method already set for this interpreter
-    tracker = ProgressTracker(Queue())
-    p = Process(target=train, args=(dataset_names, tracker))
-    p.start()
-    tracker.calling_process = p
-    return tracker
-
-
-if __name__ == "__main__":
+def _cli() -> None:
     from argparse import ArgumentParser
+    from time import sleep, time
 
     parser = ArgumentParser(
         "Trainer",
@@ -166,23 +172,23 @@ if __name__ == "__main__":
         "-d",
         "--dataset",
         nargs="+",
+        required=True,
         help="Select one or multiple datasets to train on. "
         "Paths should be relative to main project directory",
-        required=True,
     )
     args = parser.parse_args()
+
     project_dir = Path(__file__).absolute().parent
-
-    from time import sleep, time
-
-    start = time()
-    datasets = [project_dir / Path(path) for path in args.dataset]
-    tracker = train_async(datasets)
-
+    started = time()
+    job = TrainingJob.launch([project_dir / d for d in args.dataset])
     while True:
-        progress = tracker.check_progress()
-        print(progress)
-        if progress == 100:
+        percent = job.poll()
+        print(percent)
+        if percent == 100:
             break
         sleep(1)
-    print(f"training took {(time() - start) / 60} minutes")
+    print(f"training took {(time() - started) / 60} minutes")
+
+
+if __name__ == "__main__":
+    _cli()
