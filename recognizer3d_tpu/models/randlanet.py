@@ -151,6 +151,7 @@ class LocalFeatureAggregation(nn.Module):
     n_out: int
     n_neighbors: int
     knn_approach: str
+    backend: Optional[object] = None  # SPBackend for point-sharded runs
 
     @nn.compact
     def __call__(
@@ -167,27 +168,44 @@ class LocalFeatureAggregation(nn.Module):
         reordered at entry/exit (all the block's math is either pointwise or
         a permutation-invariant reduction over batch/neighbours, so the
         result is bit-identical up to distance ties). The output is returned
-        in the ORIGINAL feature order either way."""
+        in the ORIGINAL feature order either way.
+
+        With a ``backend`` (point-sharded execution) the block instead runs
+        unsorted: the self-KNN + first neighbour gather fuse into one ring
+        rotation and the second gather is one more (parallel/sp_model.py).
+        """
         if order is not None:
             features = _sort_rows(features, order)
-            neighbors, d2 = knn_presorted(
-                xyz, xyz, self.n_neighbors, self.knn_approach
-            )
-        else:
-            neighbors, d2 = knn(xyz, xyz, self.n_neighbors, self.knn_approach)
-        distances = jnp.sqrt(d2)
 
         half = self.n_out // 2
-        # input transformation
+        # input transformation (independent of the KNN, so it can run first
+        # and its output ride the fused KNN+gather on the backend path)
         feats = SharedMLP(half, activation="lrelu0.2", name="mlp1")(
             features, train=train
         )
         # first locSE + attentive pooling. Gather cost on TPU is per-ROW
         # (flat in channel count), so neighbour xyz and features are fetched
         # in ONE combined gather instead of two.
-        gathered = gather_neighbors(
-            jnp.concatenate([xyz, feats], axis=-1), neighbors
-        )  # (B, N, K, 3 + half)
+        if self.backend is not None:
+            neighbors, d2, gathered = self.backend.knn_gather(
+                xyz,
+                xyz,
+                jnp.concatenate([xyz, feats], axis=-1),
+                self.n_neighbors,
+            )
+        else:
+            if order is not None:
+                neighbors, d2 = knn_presorted(
+                    xyz, xyz, self.n_neighbors, self.knn_approach
+                )
+            else:
+                neighbors, d2 = knn(
+                    xyz, xyz, self.n_neighbors, self.knn_approach
+                )
+            gathered = gather_neighbors(
+                jnp.concatenate([xyz, feats], axis=-1), neighbors
+            )  # (B, N, K, 3 + half)
+        distances = jnp.sqrt(d2)
         rpe = relative_position_encoding(
             xyz, neighbors, distances, neighbor_xyz=gathered[..., :3]
         )
@@ -198,9 +216,11 @@ class LocalFeatureAggregation(nn.Module):
         feats = AttentivePooling(half, name="pool1")(cat, train=train)
         # second locSE + attentive pooling
         rpe = SharedMLP(half, activation="relu", name="mlp_rpe2")(rpe, train=train)
-        cat = jnp.concatenate(
-            [rpe, gather_neighbors(feats, neighbors)], axis=-1
-        )
+        if self.backend is not None:
+            neighbor_feats = self.backend.gather(feats, neighbors)
+        else:
+            neighbor_feats = gather_neighbors(feats, neighbors)
+        cat = jnp.concatenate([rpe, neighbor_feats], axis=-1)
         feats = AttentivePooling(self.n_out, name="pool2")(cat, train=train)
         # residual
         out = SharedMLP(2 * self.n_out, name="mlp2")(feats, train=train)
@@ -243,6 +263,7 @@ class RandLANet(nn.Module):
     """
 
     settings: RandLANetSettings
+    backend: Optional[object] = None  # SPBackend for point-sharded runs
 
     @nn.compact
     def __call__(
@@ -286,20 +307,32 @@ class RandLANet(nn.Module):
             ratio *= decimation
             level_sizes.append(N // ratio)
 
-        # per-level Morton orders, computed ONCE and shared by the encoder
-        # self-KNNs and the decoder 1-NN upsamplings (each level's point set
-        # is a prefix of the permuted cloud, so encoder and decoder see the
-        # same arrays). All neighbourhood searches then run in the sorted
-        # domain — the pallas kernels skip their index remap/unsort, which
-        # dominates their non-kernel cost at 64k points (see
-        # benchmarks/RESULTS.md).
-        orders, invs, xyz_levels = [], [], []
-        for n_level in level_sizes:
-            x_level = xyz[:, :n_level]
-            order = morton_order(x_level)
-            orders.append(order)
-            invs.append(invert_permutation(order))
-            xyz_levels.append(_sort_rows(x_level, order))
+        if self.backend is not None:
+            # point-sharded execution: levels stay in permuted order (the
+            # ring KNN is order-agnostic); each decimation prefix is pinned
+            # back to the block-sharded layout so GSPMD rebalances it
+            self.backend.check_level_sizes(level_sizes)
+            orders = invs = [None] * len(level_sizes)
+            xyz = self.backend.constrain(xyz)
+            feats = self.backend.constrain(feats)
+            xyz_levels = [
+                self.backend.constrain(xyz[:, :n]) for n in level_sizes
+            ]
+        else:
+            # per-level Morton orders, computed ONCE and shared by the
+            # encoder self-KNNs and the decoder 1-NN upsamplings (each
+            # level's point set is a prefix of the permuted cloud, so
+            # encoder and decoder see the same arrays). All neighbourhood
+            # searches then run in the sorted domain — the pallas kernels
+            # skip their index remap/unsort, which dominates their
+            # non-kernel cost at 64k points (see benchmarks/RESULTS.md).
+            orders, invs, xyz_levels = [], [], []
+            for n_level in level_sizes:
+                x_level = xyz[:, :n_level]
+                order = morton_order(x_level)
+                orders.append(order)
+                invs.append(invert_permutation(order))
+                xyz_levels.append(_sort_rows(x_level, order))
 
         # encoder (modules.py:582-589)
         feats_sampled = feats
@@ -309,6 +342,7 @@ class RandLANet(nn.Module):
                 n_out,
                 s.n_neighbors,
                 s.knn,
+                backend=self.backend,
                 name=f"encoder_{i}",
             )(
                 xyz_levels[i],
@@ -320,6 +354,8 @@ class RandLANet(nn.Module):
             skip_stack.append(feats)
             # random sampling == prefix slice after the permutation
             feats_sampled = feats[:, : level_sizes[i + 1]]
+            if self.backend is not None:
+                feats_sampled = self.backend.constrain(feats_sampled)
 
         feats = SharedMLP(
             feats_sampled.shape[-1], activation="relu", name="mlp"
@@ -330,13 +366,21 @@ class RandLANet(nn.Module):
         decoder_channels = [2 * n for n in n_outs] + [8]
         for i, n_out_ch in enumerate(decoder_channels):
             level = len(s.layer_sizes) - i  # current (coarse) level index
-            upsampled = upsample_nni(
-                _sort_rows(feats, orders[level]),
-                xyz_levels[level],
-                xyz_levels[level - 1],
-                s.knn,
-                inv_fine=invs[level - 1],
-            )
+            if self.backend is not None:
+                # fused ring 1-NN + feature copy: coarse shards rotate past
+                # the fine queries once
+                _, _, up = self.backend.knn_gather(
+                    xyz_levels[level], xyz_levels[level - 1], feats, 1
+                )
+                upsampled = up[:, :, 0, :]
+            else:
+                upsampled = upsample_nni(
+                    _sort_rows(feats, orders[level]),
+                    xyz_levels[level],
+                    xyz_levels[level - 1],
+                    s.knn,
+                    inv_fine=invs[level - 1],
+                )
             feats = jnp.concatenate([upsampled, skip_stack.pop()], axis=-1)
             feats = SharedMLP(
                 n_out_ch,
@@ -348,6 +392,8 @@ class RandLANet(nn.Module):
         # inverse permutation restores original point order (modules.py:607-608);
         # computed by scatter — an argsort here costs several ms at 64k points
         feats = feats[:, invert_permutation(permutation)]
+        if self.backend is not None:
+            feats = self.backend.constrain(feats)
 
         # head (fc_end, modules.py:525-530)
         feats = SharedMLP(64, activation="relu", name="fc_end_0")(feats, train=train)

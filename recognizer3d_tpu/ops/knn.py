@@ -105,10 +105,12 @@ def knn_argmin(
             jnp.where(take, tile_arg, best_i),
         ), None
 
-    init = (
-        jnp.full((B, M), jnp.inf, dtype=jnp.float32),
-        jnp.zeros((B, M), dtype=jnp.int32),
-    )
+    # The init must inherit the query's varying-axes type so the scan
+    # carry typechecks when this runs inside a shard_map body (the ring
+    # KNN k=1 path): derive a (B, M) zero FROM query (0.0 even for NaN).
+    q0 = query[..., 0]
+    zero = jnp.where(q0 == q0, 0.0, 0.0).astype(jnp.float32)
+    init = (zero + jnp.inf, zero.astype(jnp.int32))
     (best_d, best_i), _ = lax.scan(
         step, init, (tiles, jnp.arange(n_tiles, dtype=jnp.int32))
     )

@@ -86,19 +86,23 @@ def ring_knn(
     k: int,
     mesh: Mesh,
     axis_name: str = "points",
+    batch_axis: str = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact KNN with both clouds block-sharded over ``axis_name``.
 
     :param support: (B, N, 3) — N divisible by the mesh axis size.
     :param query: (B, M, 3) — M divisible by the mesh axis size.
+    :param batch_axis: optional extra mesh axis sharding the batch dim
+        (DP×SP meshes); the ring then runs independently per batch shard.
     :return: (indices int32 (B, M, k) GLOBAL into support, squared dists).
              Outputs are sharded over the query/point axis.
     """
+    spec = P(batch_axis, axis_name, None)
     f = shard_map(
         partial(_ring_knn_local, k=k, axis_name=axis_name),
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
-        out_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
     )
     return f(support, query)
 
@@ -165,6 +169,7 @@ def ring_knn_gather(
     k: int,
     mesh: Mesh,
     axis_name: str = "points",
+    batch_axis: str = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused distributed KNN + neighbour-feature gather over a point-sharded
     mesh: the ring-attention analogue for local feature aggregation. Returns
@@ -176,20 +181,14 @@ def ring_knn_gather(
     :param support: (B, N, 3) sharded over ``axis_name``.
     :param query: (B, M, 3) sharded over ``axis_name``.
     :param features: (B, N, C) per-support-point features, sharded likewise.
+    :param batch_axis: optional extra mesh axis sharding the batch dim.
     """
+    row = P(batch_axis, axis_name, None)
     f = shard_map(
         partial(_ring_knn_gather_local, k=k, axis_name=axis_name),
         mesh=mesh,
-        in_specs=(
-            P(None, axis_name, None),
-            P(None, axis_name, None),
-            P(None, axis_name, None),
-        ),
-        out_specs=(
-            P(None, axis_name, None),
-            P(None, axis_name, None),
-            P(None, axis_name, None, None),
-        ),
+        in_specs=(row, row, row),
+        out_specs=(row, row, P(batch_axis, axis_name, None, None)),
     )
     return f(support, query, features)
 
@@ -236,6 +235,7 @@ def ring_gather(
     idx_global: jax.Array,
     mesh: Mesh,
     axis_name: str = "points",
+    batch_axis: str = None,
 ) -> jax.Array:
     """Distributed ``gather_neighbors``: ``features`` (B, N, C) and
     ``idx_global`` (B, M, k) are both point-sharded; returns (B, M, k, C)
@@ -244,8 +244,11 @@ def ring_gather(
     f = shard_map(
         partial(_ring_gather_local, axis_name=axis_name),
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
-        out_specs=P(None, axis_name, None, None),
+        in_specs=(
+            P(batch_axis, axis_name, None),
+            P(batch_axis, axis_name, None),
+        ),
+        out_specs=P(batch_axis, axis_name, None, None),
     )
     return f(features, idx_global)
 

@@ -150,3 +150,121 @@ class TestDataParallel:
         np.testing.assert_allclose(
             np.asarray(g_dp), np.asarray(g_ref), rtol=1e-5
         )
+
+
+class TestPointShardedModel:
+    """Full RandLA-Net forward + train step over a point-sharded mesh must
+    match the single-device module weight-for-weight."""
+
+    def _setup(self):
+        from recognizer3d_tpu.models.randlanet import RandLANet
+        from recognizer3d_tpu.models.settings import RandLANetSettings
+        from recognizer3d_tpu.parallel.sp_model import (
+            SPBackend,
+            point_sharded_model,
+        )
+
+        settings = RandLANetSettings(
+            n_classes=2,
+            n_points=256,
+            n_features=0,
+            n_neighbors=4,
+            decimation=2,
+            layer_sizes=[4, 8, 16, 32],
+            knn="naive",
+        )
+        mesh = point_sharded_mesh(8)
+        single = RandLANet(settings)
+        sharded = point_sharded_model(settings, mesh)
+        rng = np.random.RandomState(0)
+        inputs = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+        perm = jnp.asarray(rng.permutation(256).astype(np.int32))
+        variables = single.init(jax.random.PRNGKey(0), inputs, perm)
+        backend = SPBackend(mesh)
+        return single, sharded, backend, variables, inputs, perm
+
+    def test_forward_parity(self, eight_devices):
+        single, sharded, backend, variables, inputs, perm = self._setup()
+        ref = single.apply(variables, inputs, perm, train=False)
+        sp_in = backend.shard_inputs(inputs)
+        got = jax.jit(
+            lambda v, x, p: sharded.apply(v, x, p, train=False)
+        )(variables, sp_in, perm)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3
+        )
+
+    def test_train_step_parity(self, eight_devices):
+        """Loss, gradients AND the cross-shard BatchNorm batch statistics
+        of one training step must match the single-device step."""
+        from recognizer3d_tpu.training.losses import get_loss
+
+        single, sharded, backend, variables, inputs, perm = self._setup()
+        rng = np.random.RandomState(1)
+        labels = jnp.asarray(rng.randint(0, 2, (2, 256)).astype(np.int32))
+        criterion = get_loss("dice")
+        dropout_key = jax.random.PRNGKey(7)
+
+        def step(module, variables, x):
+            def loss_fn(params):
+                logits, updates = module.apply(
+                    {
+                        "params": params,
+                        "batch_stats": variables["batch_stats"],
+                    },
+                    x,
+                    perm,
+                    train=True,
+                    rngs={"dropout": dropout_key},
+                    mutable=["batch_stats"],
+                )
+                return criterion(logits, labels), updates["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(variables["params"])
+            return loss, stats, grads
+
+        loss_ref, stats_ref, grads_ref = step(single, variables, inputs)
+        loss_sp, stats_sp, grads_sp = jax.jit(
+            lambda v, x: step(sharded, v, x)
+        )(variables, backend.shard_inputs(inputs))
+
+        np.testing.assert_allclose(
+            float(loss_sp), float(loss_ref), atol=1e-5, rtol=1e-4
+        )
+        for ref_leaf, sp_leaf in zip(
+            jax.tree.leaves(stats_ref), jax.tree.leaves(stats_sp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(sp_leaf), np.asarray(ref_leaf),
+                atol=1e-4, rtol=1e-3,
+            )
+        for ref_leaf, sp_leaf in zip(
+            jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(sp_leaf), np.asarray(ref_leaf),
+                atol=5e-4, rtol=5e-3,
+            )
+
+    def test_rejects_indivisible_levels(self, eight_devices):
+        from recognizer3d_tpu.models.settings import RandLANetSettings
+        from recognizer3d_tpu.parallel.sp_model import point_sharded_model
+
+        settings = RandLANetSettings(
+            n_classes=2,
+            n_points=80,  # level 80/2=40/2=20/2=10 -> not divisible by 8
+            n_neighbors=4,
+            decimation=2,
+            layer_sizes=[4, 8, 16, 32],
+            knn="naive",
+        )
+        mesh = point_sharded_mesh(8)
+        module = point_sharded_model(settings, mesh)
+        rng = np.random.RandomState(0)
+        inputs = jnp.asarray(rng.rand(1, 80, 3).astype(np.float32))
+        perm = jnp.asarray(rng.permutation(80).astype(np.int32))
+        with pytest.raises(ValueError, match="divisible"):
+            module.init(jax.random.PRNGKey(0), inputs, perm)
