@@ -140,6 +140,39 @@ def main():
     # model.predict returns numpy -> inherently synchronous end-to-end
     # (includes host prep + transfer + RTT, the true live-loop latency)
     predict_p50 = _median_time(lambda: model.predict(cloud), iters=10, warmup=3)
+    # the live-loop fast path: device-side threshold, bool-mask download
+    predict_mask_p50 = _median_time(
+        lambda: model.predict_mask(cloud, 0.5), iters=10, warmup=3
+    )
+
+    # decompose the wall latency: host prep / H2D upload / bare relay RTT
+    # (full decomposition in benchmarks/predict_breakdown.py)
+    host_prep_ms = (
+        _median_time(
+            lambda: model._prepare_full(
+                np.expand_dims(cloud, 0).astype(np.float32)
+            ),
+            iters=10,
+            warmup=2,
+        )
+        * 1000
+    )
+    padded, _idx, _perm, _nf = model._prepare_full(
+        np.expand_dims(cloud, 0).astype(np.float32)
+    )
+    touch = jax.jit(lambda x: x.reshape(-1)[0])
+    upload_ms = (
+        _median_time(
+            lambda: float(touch(jax.device_put(padded))), iters=10, warmup=2
+        )
+        * 1000
+    )
+    sum_small = jax.jit(jnp.sum)
+    small = jnp.zeros((8,), jnp.float32)
+    rtt_ms = (
+        _median_time(lambda: float(sum_small(small)), iters=20, warmup=3)
+        * 1000
+    )
 
     # device-resident live loop: raw z16 depth frame -> dewarp -> filter ->
     # subsample -> predict -> mask, one fused program (BASELINE.json's
@@ -272,7 +305,14 @@ def main():
         "forward_64k_ms_reference_default_knn": t64a * 1000,
         "clouds_per_sec_64k_reference_default_knn": 1.0 / t64a,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
+        "predict_mask_p50_ms_appconfig": predict_mask_p50 * 1000,
         "predict_device_ms_appconfig": predict_device * 1000,
+        "predict_host_prep_ms": host_prep_ms,
+        "predict_upload_ms_incl_relay": upload_ms,
+        "relay_rtt_dispatch_ms": rtt_ms,
+        "predict_non_relay_host_plus_device_ms": (
+            host_prep_ms + predict_device * 1000
+        ),
         "live_depth_predict_p50_ms": live_p50 * 1000,
         "live_depth_device_ms": live_device * 1000,
         "batch8_clouds_per_sec_appconfig": batch8_clouds_per_sec,

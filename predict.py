@@ -31,12 +31,17 @@ class Predictor:
 
     def _warm_up(self) -> None:
         """Trigger jit compilation so the first real frame isn't slow."""
-        self._model.predict(np.random.random((30, 3)))
+        self._model.predict_mask(
+            np.random.random((30, 3)), self.confidence_threshold
+        )
 
     def predict(self, point_cloud: np.ndarray) -> np.ndarray:
-        """(N,) bool: foreground confidence above the threshold."""
-        per_class = self._model.predict(point_cloud)
-        return per_class[_FOREGROUND_CLASS, :] > self.confidence_threshold
+        """(N,) bool: foreground confidence above the threshold. Uses the
+        device-side threshold path (one bool per point crosses the host
+        boundary instead of the (C, N) float confidences)."""
+        return self._model.predict_mask(
+            point_cloud, self.confidence_threshold
+        )
 
 
 _HELP_TEXT = (

@@ -48,10 +48,11 @@ _BUCKET = 4096  # minimum full-cloud padding granularity
 
 def _bucket(n: int) -> int:
     """Round a full-cloud size up to its bucket. Buckets are proportional
-    (~1/16 of the size, at least 4096): camera frames vary by a few percent
-    frame-to-frame after the z-filter, and a fixed fine granularity would
-    recompile the predict program for nearly every distinct size (remote
-    TPU compiles cost ~1-2 min). Padding waste is bounded at ~6%."""
+    (steps of up to 1/8 of the size, at least 4096): camera frames vary by
+    a few percent frame-to-frame after the z-filter, and a fixed fine
+    granularity would recompile the predict program for nearly every
+    distinct size (remote TPU compiles cost ~1-2 min). Padding waste is
+    bounded at ~12.5%."""
     if n <= _BUCKET:
         return _BUCKET
     step = max(_BUCKET, 1 << (int(n).bit_length() - 4))
@@ -127,11 +128,19 @@ class Model:
                 confidences, sampled[..., :3], inputs_full[..., :3]
             )
 
+        def _predict_mask(variables, inputs_full, sample_idx, permutation, thr):
+            # the live-loop fast path: threshold the foreground confidence
+            # ON DEVICE so the host downloads one bool per point (~8× less
+            # than the (C, N) float confidences through the relay)
+            conf = _predict_full(variables, inputs_full, sample_idx, permutation)
+            return conf[:, 1, :] > thr
+
         self._forward_jit = jax.jit(_forward)
         self._forward_softmax_jit = jax.jit(_forward_softmax)
         self._upsample_jit = jax.jit(_upsample_conf)
         self._predict_full_fn = _predict_full  # un-jitted (benchmarks chain it)
         self._predict_full_jit = jax.jit(_predict_full)
+        self._predict_mask_jit = jax.jit(_predict_mask)
 
     # ------------------------------------------------------------------
     # properties
@@ -270,6 +279,69 @@ class Model:
                 'use knn="naive" when N < 20000.'
             )
 
+    def _prepare_full(self, inputs: np.ndarray):
+        """Host prep shared by the full-cloud predict paths: cached
+        consistent-sample indices, the per-call random permutation
+        (reference modules.py:568-573 — a fresh draw per forward, under
+        the caller's numpy seed like the 10-seed eval protocol expects),
+        and bucket padding into a REUSED pinned buffer so live frames of
+        varying size share one compiled program without a fresh
+        allocation+copy each frame."""
+        n_full = inputs.shape[1]
+        indices = np.asarray(
+            consistent_sample_indices(n_full, self.settings.n_points),
+            dtype=np.int32,
+        )
+        permutation = np.random.permutation(self.settings.n_points).astype(
+            np.int32
+        )
+        n_padded = _bucket(n_full)
+        if n_padded == n_full:
+            return inputs, indices, permutation, n_full
+        buf_key = (inputs.shape[0], n_padded, inputs.shape[2])
+        buf = getattr(self, "_pad_buffer", None)
+        if buf is None or buf.shape != buf_key:
+            buf = np.zeros(buf_key, np.float32)
+            self._pad_buffer = buf
+        buf[:, :n_full] = inputs
+        buf[:, n_full:] = 0.0
+        return buf, indices, permutation, n_full
+
+    def predict_mask(
+        self,
+        xyz: np.ndarray,
+        threshold: float = 0.5,
+        features: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Boolean foreground mask for one full cloud — the live-loop fast
+        path: same computation as :meth:`predict` (consistent subsample →
+        forward → softmax → full-cloud upsample) but thresholded on device
+        so only one bool per point crosses back to the host.
+
+        :param xyz: (N, 3) or (B, N, 3) coordinates.
+        :return: (N,) or (B, N) bool, class-1 confidence > threshold.
+        """
+        assert xyz.shape[-1] == 3, "xyz should have shape (B) x N x 3!"
+        batched = xyz.ndim == 3
+        inputs = xyz if batched else np.expand_dims(xyz, 0)
+        if features is not None:
+            feats = features if features.ndim == 3 else features[None]
+            inputs = np.concatenate((inputs, feats), axis=-1)
+        inputs = inputs.astype(np.float32)
+        inputs_padded, indices, permutation, n_full = self._prepare_full(
+            inputs
+        )
+        mask = np.asarray(
+            self._predict_mask_jit(
+                self._variables,
+                inputs_padded,
+                indices,
+                permutation,
+                np.float32(threshold),
+            )
+        )[:, :n_full]
+        return mask if batched else mask[0]
+
     def predict(
         self,
         xyz: np.ndarray,
@@ -308,26 +380,13 @@ class Model:
             prepostprocess = False
 
         if prepostprocess:
-            n_full = inputs.shape[1]
-            indices = consistent_sample_indices(n_full, self.settings.n_points)
-            permutation = np.random.permutation(self.settings.n_points).astype(
-                np.int32
+            inputs_padded, indices, permutation, n_full = self._prepare_full(
+                inputs
             )
-            # pad the full cloud to a bucket so live frames of varying size
-            # reuse one compiled program
-            n_padded = _bucket(n_full)
-            if n_padded != n_full:
-                pad = np.zeros(
-                    (inputs.shape[0], n_padded - n_full, inputs.shape[2]),
-                    np.float32,
-                )
-                inputs_padded = np.concatenate([inputs, pad], axis=1)
-            else:
-                inputs_padded = inputs
             predictions = self._predict_full_jit(
                 self._variables,
                 inputs_padded,
-                np.asarray(indices, dtype=np.int32),
+                indices,
                 permutation,
             )
             predictions = np.asarray(predictions)[:, :, :n_full]

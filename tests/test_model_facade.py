@@ -63,6 +63,17 @@ class TestPredict:
         conf = tiny_model.predict(cloud)
         assert conf.shape == (2, 30)
 
+    def test_predict_mask_matches_thresholded_predict(self, tiny_model):
+        """The device-side mask fast path must equal thresholding the
+        (C, N) confidences on the host (same permutation => same draw)."""
+        cloud = np.random.RandomState(1).randn(500, 3).astype(np.float32)
+        np.random.seed(42)
+        conf = tiny_model.predict(cloud)
+        np.random.seed(42)  # same per-call permutation draw
+        mask = tiny_model.predict_mask(cloud, 0.5)
+        assert mask.shape == (500,) and mask.dtype == bool
+        np.testing.assert_array_equal(mask, conf[1] > 0.5)
+
     def test_bucket_padding_does_not_change_results(self, tiny_model):
         # proportional buckets pad the full cloud with zeros; padded rows
         # are queries only and must not perturb the real points' output
