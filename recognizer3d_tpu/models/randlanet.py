@@ -31,7 +31,21 @@ from recognizer3d_tpu.ops.knn_pallas import invert_permutation, morton_order
 
 
 def _sort_rows(x: jax.Array, order: jax.Array) -> jax.Array:
-    """Reorder the point dimension of (B, N, C) by (B, N) ``order``."""
+    """Reorder the point dimension of (B, N, C) by ``order`` — (B, N), or
+    (N,) shared across the batch.
+
+    For B > 1 on big clouds this gathers per batch element: a batched
+    row gather over the flattened (B·N)-row table leaves the TPU's
+    fast-gather regime (per-row cost grows with table size past ~128k
+    rows; measured 6.7× at 4×64k — benchmarks/RESULTS.md)."""
+    if order.ndim == 1:
+        if x.shape[0] > 1 and x.shape[0] * x.shape[1] > 131072:
+            return jax.lax.map(lambda xb: jnp.take(xb, order, axis=0), x)
+        return x[:, order]
+    if x.shape[0] > 1 and x.shape[0] * x.shape[1] > 131072:
+        return jax.lax.map(
+            lambda args: jnp.take(args[0], args[1], axis=0), (x, order)
+        )
     return jnp.take_along_axis(x, order[..., None], axis=1)
 
 
@@ -297,8 +311,8 @@ class RandLANet(nn.Module):
         feats = nn.leaky_relu(feats, negative_slope=0.2)
 
         # random permutation (random-sampling hierarchy)
-        xyz = xyz[:, permutation]
-        feats = feats[:, permutation]
+        xyz = _sort_rows(xyz, permutation)
+        feats = _sort_rows(feats, permutation)
 
         decimation = s.decimation
         level_sizes = [N]
@@ -391,7 +405,7 @@ class RandLANet(nn.Module):
 
         # inverse permutation restores original point order (modules.py:607-608);
         # computed by scatter — an argsort here costs several ms at 64k points
-        feats = feats[:, invert_permutation(permutation)]
+        feats = _sort_rows(feats, invert_permutation(permutation))
         if self.backend is not None:
             feats = self.backend.constrain(feats)
 

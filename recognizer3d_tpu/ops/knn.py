@@ -480,8 +480,20 @@ def gather_neighbors(features: jax.Array, neighbors: jax.Array) -> jax.Array:
     if B == 1:
         flat = neighbors[0].reshape(-1)
         table = features[0]
-    else:
+    elif B * N <= 131072:
         offsets = (jnp.arange(B, dtype=neighbors.dtype) * N)[:, None]
         flat = (neighbors.reshape(B, M * K) + offsets).reshape(-1)
         table = features.reshape(B * N, C)
+    else:
+        # Big batched clouds: one gather per batch element. The flat
+        # (B·N)-row table leaves the fast-gather regime — measured per-row
+        # cost grows ~linearly with table size past ~128k rows (DRAM page
+        # locality), so a 4×64k flat gather costs 17× a 64k one. A
+        # sequential lax.map keeps each gather on its own N-row table
+        # (2.6× faster at B=4×64k; see benchmarks/RESULTS.md).
+        out = lax.map(
+            lambda args: jnp.take(args[0], args[1].reshape(-1), axis=0),
+            (features, neighbors),
+        )
+        return out.reshape(B, M, K, C)
     return jnp.take(table, flat, axis=0).reshape(B, M, K, C)
