@@ -39,11 +39,18 @@ from flax import serialization as flax_serialization
 from recognizer3d_tpu.data.augmentation import AugmentationSettings
 from recognizer3d_tpu.data.loader import get_data_loader
 from recognizer3d_tpu.data.preprocessing import consistent_sample_indices
+from recognizer3d_tpu.models.large import (
+    LARGE_FORWARD_MIN_POINTS,
+    forward_eval_large,
+)
 from recognizer3d_tpu.models.randlanet import RandLANet
 from recognizer3d_tpu.models.settings import RandLANetSettings
 from recognizer3d_tpu.ops.upsample import upsample as upsample_features
 
 _BUCKET = 4096  # minimum full-cloud padding granularity
+# eval forwards at / beyond this cloud size stream the LFA neighbour
+# pipeline in chunks (models/large.py) so 1M-point clouds fit in HBM
+_LARGE_FORWARD_MIN = LARGE_FORWARD_MIN_POINTS
 
 
 def _bucket(n: int) -> int:
@@ -96,6 +103,10 @@ class Model:
 
         # jitted programs ------------------------------------------------
         def _forward(variables, inputs, permutation):
+            if inputs.shape[1] >= _LARGE_FORWARD_MIN:
+                return forward_eval_large(
+                    variables, settings, inputs, permutation
+                )
             return self._module.apply(variables, inputs, permutation, train=False)
 
         def _forward_softmax(variables, inputs, permutation):

@@ -76,14 +76,36 @@ def knn_argmin(
     support: jax.Array,
     query: jax.Array,
     support_tile: int = 4096,
+    query_block: int = 65536,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact 1-NN as a streaming min/argmin — the decoder-upsampling hot
     path (every fine point copies its nearest coarse point's features,
     modules.py:343-364). No top-k machinery: a scan over support tiles with
     a running (min, argmin) carry, purely bandwidth-bound.
+
+    Queries beyond ``query_block`` are processed in blocks (``lax.map``)
+    so the per-step (M, tile) distance matrix stays bounded — at 1M
+    queries an unblocked step would materialise a 16 GB temp.
     """
     B, N, _ = support.shape
     M = query.shape[1]
+    if M > query_block:
+        n_blocks = -(-M // query_block)
+        pad = n_blocks * query_block - M
+        q = query
+        if pad:
+            q = jnp.concatenate(
+                [q, jnp.broadcast_to(q[:, -1:], (B, pad, 3))], axis=1
+            )
+        blocks = jnp.moveaxis(
+            q.reshape(B, n_blocks, query_block, 3), 1, 0
+        )
+        idx_b, d2_b = lax.map(
+            lambda qb: knn_argmin(support, qb, support_tile), blocks
+        )
+        idx = jnp.moveaxis(idx_b, 0, 1).reshape(B, n_blocks * query_block, 1)
+        d2 = jnp.moveaxis(d2_b, 0, 1).reshape(B, n_blocks * query_block, 1)
+        return idx[:, :M], d2[:, :M]
     n_tiles = -(-N // support_tile)
     pad = n_tiles * support_tile - N
     if pad:

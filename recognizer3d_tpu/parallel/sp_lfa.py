@@ -25,43 +25,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
+from recognizer3d_tpu.models.functional import (
+    attentive_pool as _attentive_pool,
+    dense as _dense,
+    shared_mlp as _shared_mlp,
+)
 from recognizer3d_tpu.parallel.ring_knn import ring_gather, ring_knn_gather
-
-_BN_EPS = 1e-6  # reference modules.py:87
-
-
-def _dense(p: Dict, x: jax.Array) -> jax.Array:
-    y = x @ p["kernel"]
-    if "bias" in p:
-        y = y + p["bias"]
-    return y
-
-
-def _bn_eval(p: Dict, stats: Dict, x: jax.Array) -> jax.Array:
-    inv = jax.lax.rsqrt(stats["var"] + _BN_EPS)
-    return (x - stats["mean"]) * inv * p["scale"] + p["bias"]
-
-
-def _act(name, x):
-    if name == "relu":
-        return jax.nn.relu(x)
-    if name == "lrelu":
-        return jax.nn.leaky_relu(x, negative_slope=0.01)
-    if name == "lrelu0.2":
-        return jax.nn.leaky_relu(x, negative_slope=0.2)
-    return x
-
-
-def _shared_mlp(p: Dict, s: Dict, x: jax.Array, act=None) -> jax.Array:
-    x = _dense(p["conv"], x)
-    x = _bn_eval(p["batch_norm"], s["batch_norm"], x)
-    return _act(act, x)
-
-
-def _attentive_pool(p: Dict, s: Dict, x: jax.Array) -> jax.Array:
-    scores = jax.nn.softmax(_dense(p["score_fn"], x), axis=-2)
-    pooled = jnp.sum(scores * x, axis=-2)
-    return _shared_mlp(p["mlp"], s["mlp"], pooled, "relu")
 
 
 def sp_lfa_eval(

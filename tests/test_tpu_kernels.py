@@ -1,0 +1,107 @@
+"""Compiled-kernel tests on the REAL TPU (Mosaic, interpret=False).
+
+The CI suite exercises the pallas kernels in interpret mode on CPU;
+Mosaic-specific behaviour (layouts, masked-lane tricks, DMA paths) is
+only visible compiled. These reduced-size oracle tests catch kernel
+regressions without a full benchmark run:
+
+    R3D_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+(~3 min: one Mosaic compile per kernel variant at small N.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("real TPU not available")
+
+
+def _oracle(support, query, k):
+    s = np.asarray(support, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = (
+        np.sum(q**2, -1)[..., :, None]
+        + np.sum(s**2, -1)[..., None, :]
+        - 2 * np.einsum("bmd,bnd->bmn", q, s)
+    )
+    idx = np.argsort(d2, axis=-1)[..., :k]
+    return idx, np.take_along_axis(d2, idx, axis=-1)
+
+
+class TestCompiledKernels:
+    def test_knn_pallas_exact_vs_oracle(self):
+        _require_tpu()
+        from recognizer3d_tpu.ops.knn_pallas import knn_pallas
+
+        rng = np.random.RandomState(0)
+        s = jnp.asarray(rng.rand(1, 4096, 3).astype(np.float32))
+        idx, d2 = knn_pallas(s, s, 32, interpret=False)
+        _, ref_d2 = _oracle(s, s, 32)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d2), -1), np.sort(ref_d2, -1), atol=1e-5
+        )
+        # indices reproduce distances (exactness, not just distance match)
+        pts = np.asarray(s)[0][np.asarray(idx)[0]]
+        check = np.sum((pts - np.asarray(s)[0][:, None, :]) ** 2, -1)
+        np.testing.assert_allclose(check, np.asarray(d2)[0], atol=1e-5)
+
+    def test_knn_pallas_hbm_variant(self):
+        """Support past the VMEM limit exercises the HBM tile-DMA path."""
+        _require_tpu()
+        import recognizer3d_tpu.ops.knn_pallas as kp
+
+        rng = np.random.RandomState(1)
+        n = 8192
+        s = jnp.asarray(rng.rand(1, n, 3).astype(np.float32))
+        q = jnp.asarray(np.asarray(s)[:, rng.choice(n, 1024, False)])
+        # force the HBM branch at a small size
+        old = kp._VMEM_SUPPORT_LIMIT_BYTES
+        kp._VMEM_SUPPORT_LIMIT_BYTES = 64 * 1024
+        try:
+            idx, d2 = kp.knn_pallas(s, q, 16, interpret=False)
+        finally:
+            kp._VMEM_SUPPORT_LIMIT_BYTES = old
+        _, ref_d2 = _oracle(s, q, 16)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d2), -1), np.sort(ref_d2, -1), atol=1e-5
+        )
+
+    def test_argmin_pallas_vs_oracle(self):
+        _require_tpu()
+        from recognizer3d_tpu.ops.knn_pallas import argmin_pallas
+
+        rng = np.random.RandomState(2)
+        s = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 8192, 3).astype(np.float32))
+        idx, d2 = argmin_pallas(s, q, interpret=False)
+        _, ref_d2 = _oracle(s, q, 1)
+        np.testing.assert_allclose(
+            np.asarray(d2), ref_d2, atol=1e-5
+        )
+
+    def test_model_forward_finite(self):
+        """A small compiled end-to-end forward returns finite logits."""
+        _require_tpu()
+        from recognizer3d_tpu.models.facade import Model
+        from recognizer3d_tpu.models.settings import RandLANetSettings
+
+        settings = RandLANetSettings(
+            n_classes=2, n_features=0, knn="naive", n_points=2500,
+            n_neighbors=32, decimation=4,
+        )
+        model = Model(settings, seed=0)
+        rng = np.random.RandomState(0)
+        conf = model.predict(
+            rng.randn(2500, 3).astype(np.float32) * 0.2,
+            prepostprocess=False,
+        )
+        assert np.isfinite(conf).all()
+        np.testing.assert_allclose(conf.sum(0), 1.0, atol=1e-3)
