@@ -35,9 +35,18 @@ def ref_modules():
     from tests._faiss_stub import install
 
     install()
-    if str(REFERENCE) not in sys.path:
+    # import the reference package WITHOUT leaving /root/reference on
+    # sys.path: the reference also ships top-level modules named train,
+    # predict, main and dataset, which would shadow this repo's for every
+    # later `import train` in the suite
+    added = str(REFERENCE) not in sys.path
+    if added:
         sys.path.insert(0, str(REFERENCE))
-    import randlanet.utils.modules as ref_mod  # noqa: WPS433
+    try:
+        import randlanet.utils.modules as ref_mod  # noqa: WPS433
+    finally:
+        if added and str(REFERENCE) in sys.path:
+            sys.path.remove(str(REFERENCE))
 
     return ref_mod
 
