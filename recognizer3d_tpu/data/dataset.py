@@ -93,7 +93,9 @@ class Dataset(Sequence):
         # annotations that dominates the whole epoch if recomputed (the
         # reference reloads every epoch, but its annotations are single
         # points). FIFO-bounded by BYTES (large-scene clouds are MBs each);
-        # invalidated on writes; reads return copies so callers mutating a
+        # hits revalidate against the npy mtimes so writes from OTHER
+        # Dataset instances or processes are seen (stat is ~µs vs an
+        # MB-scale load); reads return copies so callers mutating a
         # sample in place cannot corrupt later epochs.
         self._cache: "dict" = {}
         self._cache_bytes = 0
@@ -131,11 +133,32 @@ class Dataset(Sequence):
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self._get_item_str(Dataset.timestamp(timestamp))
 
+    def _disk_stamp(self, index: str):
+        """(mtime_ns, size) of the data + annotation npys — the cache
+        validity token (size too: coarse-mtime filesystems can reuse a
+        timestamp across quick successive rewrites)."""
+
+        def _stamp(path: Path):
+            try:
+                st = path.stat()
+            except OSError:
+                return None
+            return (st.st_mtime_ns, st.st_size)
+
+        return (
+            _stamp(self._root_path / (index + "_data.npy")),
+            _stamp(self._root_path / (index + "_annotation.npy")),
+        )
+
     def _get_item_str(
         self, index: str
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        if index in self._cache:
-            return tuple(a.copy() for a in self._cache[index])
+        stamp = self._disk_stamp(index)
+        cached = self._cache.get(index)
+        if cached is not None:
+            if cached[0] == stamp:
+                return tuple(a.copy() for a in cached[1])
+            self._cache_evict(index)
         item = self._load_item_str(index)
         size = sum(a.nbytes for a in item)
         if size <= self._cache_limit_bytes:
@@ -144,8 +167,8 @@ class Dataset(Sequence):
                 and self._cache_bytes + size > self._cache_limit_bytes
             ):
                 evicted = self._cache.pop(next(iter(self._cache)))
-                self._cache_bytes -= sum(a.nbytes for a in evicted)
-            self._cache[index] = item
+                self._cache_bytes -= sum(a.nbytes for a in evicted[1])
+            self._cache[index] = (stamp, item)
             self._cache_bytes += size
             return tuple(a.copy() for a in item)
         return item
@@ -195,9 +218,9 @@ class Dataset(Sequence):
         self._cache_evict(Dataset.timestamp(index))
 
     def _cache_evict(self, key: str) -> None:
-        item = self._cache.pop(key, None)
-        if item is not None:
-            self._cache_bytes -= sum(a.nbytes for a in item)
+        entry = self._cache.pop(key, None)
+        if entry is not None:
+            self._cache_bytes -= sum(a.nbytes for a in entry[1])
 
     @classmethod
     def timestamp(cls, time: Optional[datetime]) -> str:

@@ -10,9 +10,9 @@ TPU specifics:
 
 - the forward pass, softmax and the full-cloud upsampling are separate jitted
   programs so the (fixed-shape) network compile is reused across varying live
-  frame sizes; full clouds are padded to proportional buckets (~1/16 of
-  the size, min 4096) to bound the number of compilations in the 250 ms
-  live loop;
+  frame sizes; full clouds are padded to proportional buckets (steps of up
+  to 1/8 of the size, min 4096) to bound the number of compilations in the
+  250 ms live loop;
 - ``load`` transparently accepts BOTH this framework's archives (msgpack
   weights) and original PyTorch reference archives (torch state_dict),
   converting the latter via models/torch_compat.py — pretrained reference

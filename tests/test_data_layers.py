@@ -92,6 +92,21 @@ class TestDataset:
         assert a1._selection == a2._selection
         assert len(a1) + len(b1) == len(ds)
 
+    def test_cache_sees_writes_from_other_instances(self, small_dataset):
+        # the per-instance sample cache must revalidate against disk:
+        # a write through a DIFFERENT Dataset object (or process) on the
+        # same directory must be visible on the next read
+        ds, stamps = small_dataset
+        xyz_before, _, _ = ds[stamps[0]]  # populate the cache
+        other = Dataset(ds._root_path)
+        new_cloud = np.full((7, 3), 2.5, dtype=np.float32)
+        other[stamps[0]] = new_cloud
+        other.set_annotation(stamps[0], np.ones(7, dtype=np.uint8))
+        xyz_after, _, ann_after = ds[stamps[0]]
+        assert xyz_after.shape == (7, 3)
+        np.testing.assert_array_equal(xyz_after, new_cloud)
+        assert ann_after.sum() == 7
+
     def test_merged_indexing_and_split(self, small_dataset, tmp_path):
         ds, _ = small_dataset
         merged = DatasetMerged([ds, ds])
