@@ -1,30 +1,41 @@
-"""Abstract camera interface (parity with
-``/root/reference/camera/base_camera.py:4-28``)."""
+"""Abstract camera interface.
+
+Parity contract: ``/root/reference/camera/base_camera.py:4-28`` — a named
+camera with a start/stop lifecycle, a ``get(timeout_ms)`` poll returning the
+next (N, 3) float32 point cloud, a ``device_connected`` probe, and the most
+recent cloud cached on ``last_cloud``.
+"""
 
 import numpy as np
 
 
 class Camera:
-    """Base camera: start/stop lifecycle, frame polling, cached last cloud."""
+    #: most recent cloud delivered by ``get`` (subclasses assign this)
+    _last_cloud: np.ndarray
+    #: True between ``start()`` and ``stop()``
+    _running: bool
 
     def __init__(self, name: str):
         self.name = name
         self._running = False
-        self._last_cloud = np.array([])
+        self._last_cloud = np.empty((0,), dtype=np.float64)
 
     def start(self) -> None:
+        """Begin streaming; ``get`` may be called after this."""
         self._running = True
 
     def stop(self) -> None:
+        """End streaming and release the device."""
         self._running = False
+
+    def get(self, timeout_ms: int = 200) -> np.ndarray:
+        """Block up to ``timeout_ms`` for the next (N, 3) float32 cloud."""
+        raise NotImplementedError
 
     @property
     def device_connected(self) -> bool:
+        """Whether physical hardware backs this camera (mocks: True)."""
         return True
-
-    def get(self, timeout_ms: int = 200) -> np.ndarray:
-        """Return the next point cloud (N, 3) float32."""
-        raise NotImplementedError()
 
     @property
     def last_cloud(self) -> np.ndarray:
