@@ -109,6 +109,11 @@ def main():
     t64b = _device_time(fwd64, (model64.variables, x64b, perm64), iters=4)
     clouds_per_sec_b4 = 4.0 / t64b
 
+    # the BASELINE.json "8-frame batched inference" config at 64k
+    x64b8 = jnp.asarray(rng.randn(8, 65536, 3).astype(np.float32) * 0.2)
+    t64b8 = _device_time(fwd64, (model64.variables, x64b8, perm64), iters=3)
+    clouds_per_sec_b8_64k = 8.0 / t64b8
+
     # the reference's DEFAULT settings use knn="approximate" (modules.py:44
     # of the reference) — on TPU that routes to the Morton-window search at
     # this scale; report it alongside the exact-KNN primary
@@ -302,6 +307,7 @@ def main():
         "forward_64k_ms": t64 * 1000,
         "batch1_64k_clouds_per_sec": clouds_per_sec,
         "batch4_64k_clouds_per_sec_per_cloud": clouds_per_sec_b4,
+        "batch8_64k_clouds_per_sec": clouds_per_sec_b8_64k,
         "forward_64k_ms_reference_default_knn": t64a * 1000,
         "clouds_per_sec_64k_reference_default_knn": 1.0 / t64a,
         "predict_p50_ms_appconfig": predict_p50 * 1000,

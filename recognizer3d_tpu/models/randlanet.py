@@ -78,20 +78,28 @@ class SharedMLP(nn.Module):
     Equivalent of the reference's SharedMLP (modules.py:60-104); the
     transpose-conv decoder variant collapses to the same Dense for kernel
     size 1 (only its torch init fan differs, reproduced via ``init_fan``).
+
+    ``dtype`` is the activation dtype (settings.compute_dtype): parameters
+    stay float32 (flax ``param_dtype`` default) and flax computes the
+    BatchNorm statistics in float32 regardless, so "bfloat16" only changes
+    what crosses HBM between ops.
     """
 
     n_out: int
     bn: bool = True
     activation: Optional[str] = None
     init_fan: Optional[int] = None  # override init fan-in (transpose convs)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         fan = self.init_fan if self.init_fan is not None else x.shape[-1]
+        dt = jnp.dtype(self.dtype)
         x = nn.Dense(
             self.n_out,
             kernel_init=_torch_uniform_init(fan),
             bias_init=_torch_uniform_init(fan),
+            dtype=dt,
             name="conv",
         )(x)
         if self.bn:
@@ -99,6 +107,7 @@ class SharedMLP(nn.Module):
                 use_running_average=not train,
                 momentum=0.01,  # == torch momentum 0.99 (see module docstring)
                 epsilon=1e-6,
+                dtype=dt,
                 name="batch_norm",
             )(x)
         return _activation(self.activation)(x)
@@ -136,6 +145,7 @@ class AttentivePooling(nn.Module):
     """Attention over the K neighbours (modules.py:224-253)."""
 
     n_out: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -145,11 +155,12 @@ class AttentivePooling(nn.Module):
             c,
             use_bias=False,
             kernel_init=_torch_uniform_init(c),
+            dtype=jnp.dtype(self.dtype),
             name="score_fn",
         )(x)
         scores = jax.nn.softmax(scores, axis=-2)  # softmax over K
-        pooled = jnp.sum(scores * x, axis=-2)
-        return SharedMLP(self.n_out, activation="relu", name="mlp")(
+        pooled = jnp.sum(scores * x.astype(scores.dtype), axis=-2)
+        return SharedMLP(self.n_out, activation="relu", dtype=self.dtype, name="mlp")(
             pooled, train=train
         )
 
@@ -166,6 +177,7 @@ class LocalFeatureAggregation(nn.Module):
     n_neighbors: int
     knn_approach: str
     backend: Optional[object] = None  # SPBackend for point-sharded runs
+    dtype: str = "float32"  # activation dtype (settings.compute_dtype)
 
     @nn.compact
     def __call__(
@@ -192,20 +204,21 @@ class LocalFeatureAggregation(nn.Module):
             features = _sort_rows(features, order)
 
         half = self.n_out // 2
+        dt = self.dtype
         # input transformation (independent of the KNN, so it can run first
         # and its output ride the fused KNN+gather on the backend path)
-        feats = SharedMLP(half, activation="lrelu0.2", name="mlp1")(
+        feats = SharedMLP(half, activation="lrelu0.2", dtype=dt, name="mlp1")(
             features, train=train
         )
         # first locSE + attentive pooling. Gather cost on TPU is per-ROW
         # (flat in channel count), so neighbour xyz and features are fetched
-        # in ONE combined gather instead of two.
+        # in ONE combined gather instead of two. The gather table stays
+        # float32 even under compute_dtype=bfloat16: row-gather cost is flat
+        # in channel width, and the RPE geometry must stay exact.
+        table = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
         if self.backend is not None:
             neighbors, d2, gathered = self.backend.knn_gather(
-                xyz,
-                xyz,
-                jnp.concatenate([xyz, feats], axis=-1),
-                self.n_neighbors,
+                xyz, xyz, table, self.n_neighbors
             )
         else:
             if order is not None:
@@ -216,29 +229,33 @@ class LocalFeatureAggregation(nn.Module):
                 neighbors, d2 = knn(
                     xyz, xyz, self.n_neighbors, self.knn_approach
                 )
-            gathered = gather_neighbors(
-                jnp.concatenate([xyz, feats], axis=-1), neighbors
-            )  # (B, N, K, 3 + half)
+            gathered = gather_neighbors(table, neighbors)  # (B, N, K, 3 + half)
         distances = jnp.sqrt(d2)
         rpe = relative_position_encoding(
             xyz, neighbors, distances, neighbor_xyz=gathered[..., :3]
         )
-        rpe = SharedMLP(half, activation="relu", name="mlp_rpe1")(rpe, train=train)
+        rpe = SharedMLP(half, activation="relu", dtype=dt, name="mlp_rpe1")(
+            rpe, train=train
+        )
         cat = jnp.concatenate(
-            [rpe, gathered[..., 3:]], axis=-1
+            [rpe, gathered[..., 3:].astype(rpe.dtype)], axis=-1
         )  # (B, N, K, n_out)
-        feats = AttentivePooling(half, name="pool1")(cat, train=train)
+        feats = AttentivePooling(half, dtype=dt, name="pool1")(cat, train=train)
         # second locSE + attentive pooling
-        rpe = SharedMLP(half, activation="relu", name="mlp_rpe2")(rpe, train=train)
+        rpe = SharedMLP(half, activation="relu", dtype=dt, name="mlp_rpe2")(
+            rpe, train=train
+        )
         if self.backend is not None:
             neighbor_feats = self.backend.gather(feats, neighbors)
         else:
             neighbor_feats = gather_neighbors(feats, neighbors)
         cat = jnp.concatenate([rpe, neighbor_feats], axis=-1)
-        feats = AttentivePooling(self.n_out, name="pool2")(cat, train=train)
+        feats = AttentivePooling(self.n_out, dtype=dt, name="pool2")(cat, train=train)
         # residual
-        out = SharedMLP(2 * self.n_out, name="mlp2")(feats, train=train)
-        shortcut = SharedMLP(2 * self.n_out, name="shortcut")(features, train=train)
+        out = SharedMLP(2 * self.n_out, dtype=dt, name="mlp2")(feats, train=train)
+        shortcut = SharedMLP(2 * self.n_out, dtype=dt, name="shortcut")(
+            features, train=train
+        )
         out = nn.leaky_relu(out + shortcut, negative_slope=0.01)
         if inv_order is not None:
             out = _sort_rows(out, inv_order)
@@ -294,18 +311,21 @@ class RandLANet(nn.Module):
         )
 
         xyz = inputs[..., :3].astype(jnp.float32)
+        dt = jnp.dtype(s.compute_dtype)
 
         # input transformation (fc_start + bn_start, modules.py:495-499,564-566)
         feats = nn.Dense(
             8,
             kernel_init=_torch_uniform_init(dim),
             bias_init=_torch_uniform_init(dim),
+            dtype=dt,
             name="fc_start",
         )(inputs)
         feats = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.01,
             epsilon=1e-6,
+            dtype=dt,
             name="bn_start",
         )(feats)
         feats = nn.leaky_relu(feats, negative_slope=0.2)
@@ -357,6 +377,7 @@ class RandLANet(nn.Module):
                 s.n_neighbors,
                 s.knn,
                 backend=self.backend,
+                dtype=s.compute_dtype,
                 name=f"encoder_{i}",
             )(
                 xyz_levels[i],
@@ -372,7 +393,10 @@ class RandLANet(nn.Module):
                 feats_sampled = self.backend.constrain(feats_sampled)
 
         feats = SharedMLP(
-            feats_sampled.shape[-1], activation="relu", name="mlp"
+            feats_sampled.shape[-1],
+            activation="relu",
+            dtype=s.compute_dtype,
+            name="mlp",
         )(feats_sampled, train=train)
 
         # decoder (modules.py:594-605); upsampler hardcoded to 1-NN copy
@@ -400,6 +424,7 @@ class RandLANet(nn.Module):
                 n_out_ch,
                 activation="relu",
                 init_fan=n_out_ch,  # torch ConvTranspose2d init fan quirk
+                dtype=s.compute_dtype,
                 name=f"decoder_{i}",
             )(feats, train=train)
 
@@ -410,9 +435,16 @@ class RandLANet(nn.Module):
             feats = self.backend.constrain(feats)
 
         # head (fc_end, modules.py:525-530)
-        feats = SharedMLP(64, activation="relu", name="fc_end_0")(feats, train=train)
-        feats = SharedMLP(32, activation="relu", name="fc_end_1")(feats, train=train)
+        feats = SharedMLP(
+            64, activation="relu", dtype=s.compute_dtype, name="fc_end_0"
+        )(feats, train=train)
+        feats = SharedMLP(
+            32, activation="relu", dtype=s.compute_dtype, name="fc_end_1"
+        )(feats, train=train)
         feats = nn.Dropout(0.5, deterministic=not train)(feats)
-        feats = SharedMLP(s.n_classes, bn=False, name="fc_end_2")(feats, train=train)
+        feats = SharedMLP(
+            s.n_classes, bn=False, dtype=s.compute_dtype, name="fc_end_2"
+        )(feats, train=train)
 
-        return jnp.swapaxes(feats, -1, -2)  # (B, C, N) logits
+        # logits always leave in float32 (loss/softmax/parity contracts)
+        return jnp.swapaxes(feats, -1, -2).astype(jnp.float32)  # (B, C, N)

@@ -32,6 +32,7 @@ from typing import List
 
 VALID_KNN = ("kdtree", "approximate", "naive", "pallas")
 VALID_UPSAMPLING = ("none", "nni", "nna", "idw", "isdw")
+VALID_COMPUTE_DTYPE = ("float32", "bfloat16")
 
 
 @dataclass
@@ -52,11 +53,22 @@ class RandLANetSettings:
     knn: str = "approximate"
     #: Upsampling approach for postprocessing: "none"|"nni"|"nna"|"idw"|"isdw"
     upsampling: str = "nni"
+    #: Activation dtype of the dense/attention chain: "float32" | "bfloat16".
+    #: bfloat16 halves the HBM traffic of the (N, K, C) feature chain — the
+    #: TPU equivalent of torch AMP. Geometry stays exact: xyz, every KNN
+    #: search, the relative-position encoding and the BatchNorm statistics
+    #: (flax computes them in float32) are unaffected; weights are stored
+    #: float32 so archives are interchangeable between the two modes.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.knn in VALID_KNN, (
             f'knn value "{self.knn}" not understood, '
             f"should be one of {VALID_KNN}"
+        )
+        assert self.compute_dtype in VALID_COMPUTE_DTYPE, (
+            f'compute_dtype "{self.compute_dtype}" not understood, '
+            f"should be one of {VALID_COMPUTE_DTYPE}"
         )
         assert self.upsampling in VALID_UPSAMPLING, (
             f'upsampling value "{self.upsampling}" not understood, '

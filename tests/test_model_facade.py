@@ -134,6 +134,24 @@ class TestSaveLoad:
         assert loaded.settings.knn == "approximate"
         assert loaded.settings.upsampling == "idw"
 
+    def test_bfloat16_round_trip_and_close_to_float32(
+        self, tiny_model, tmp_path
+    ):
+        # the bf16 compute mode shares weights with f32 (params stay f32),
+        # survives the archive round trip, and its predictions stay close:
+        # geometry/KNN are exact, only the feature chain loses mantissa bits
+        path = tmp_path / "model_archive"
+        tiny_model.save(path)
+        bf16 = Model.load(path, compute_dtype="bfloat16")
+        assert bf16.settings.compute_dtype == "bfloat16"
+        cloud = np.random.RandomState(1).randn(300, 3).astype(np.float32) * 0.2
+        ref = tiny_model.predict(cloud)
+        got = bf16.predict(cloud)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got.sum(axis=0), 1.0, atol=1e-2)
+        # confidences agree to bf16-level tolerance on an untrained model
+        assert np.mean(np.abs(got - ref)) < 0.05
+
     def test_missing_file_asserts(self, tmp_path):
         with pytest.raises(AssertionError):
             Model.load(tmp_path / "nope")
@@ -162,6 +180,33 @@ class TestTrainEvaluate:
             assert np.isfinite(metrics["loss"])
         # scalar log written (fallback or TB event files)
         assert any((tmp_path / "logs").iterdir())
+
+    def test_short_training_runs_in_bfloat16(self, tiny_dataset, tmp_path):
+        # mixed-precision training: activations bf16, params/BN stats f32
+        model = Model(
+            RandLANetSettings(**TINY, compute_dtype="bfloat16"), seed=0
+        )
+        train_ds, val_ds = tiny_dataset.split()
+        seen = []
+        model.train(
+            train_ds,
+            val_ds,
+            TrainingSettings(
+                epochs=1, batch_size=2, learning_rate=1e-2,
+                early_stopping=False,
+            ),
+            AugmentationSettings(),
+            log_dir=tmp_path / "logs",
+            class_names=["background", "fingerpoint"],
+            callbacks=[lambda epoch, metrics: seen.append(metrics)],
+        )
+        assert seen and np.isfinite(seen[0]["loss"])
+        params = model.variables["params"]
+        import jax
+
+        assert all(
+            a.dtype == np.float32 for a in jax.tree.leaves(params)
+        ), "bf16 mode must keep float32 master weights"
 
     def test_class_names_length_asserted(self, tiny_dataset):
         model = Model(RandLANetSettings(**TINY), seed=0)
