@@ -129,6 +129,23 @@ def main():
 
     t64a = _device_time(fwd64a, (model64a.variables, x64, perm64), iters=10)
 
+    # mixed-precision option (settings.compute_dtype="bfloat16"): bf16
+    # activation chain, f32 master weights + geometry/KNN — report the
+    # 64k forward under both KNN modes
+    model64bf = Model(
+        RandLANetSettings(
+            n_classes=2, n_features=0, knn="naive", n_points=65536,
+            n_neighbors=32, decimation=4, compute_dtype="bfloat16",
+        ),
+        seed=0,
+    )
+
+    def fwd64bf(c, variables, x, perm):
+        logits = model64bf._forward_jit(variables, x + c * 1e-12, perm)
+        return jnp.float32(jnp.max(logits))
+
+    t64bf = _device_time(fwd64bf, (model64bf.variables, x64, perm64), iters=10)
+
     # ------------------------------------------------------------------
     # extras: app-config single-frame predict (mock cloud) + 8-frame batch
     # ------------------------------------------------------------------
@@ -310,6 +327,7 @@ def main():
         "batch8_64k_clouds_per_sec": clouds_per_sec_b8_64k,
         "forward_64k_ms_reference_default_knn": t64a * 1000,
         "clouds_per_sec_64k_reference_default_knn": 1.0 / t64a,
+        "forward_64k_ms_bfloat16": t64bf * 1000,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
         "predict_mask_p50_ms_appconfig": predict_mask_p50 * 1000,
         "predict_device_ms_appconfig": predict_device * 1000,

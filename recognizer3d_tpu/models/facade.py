@@ -33,6 +33,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 from flax import serialization as flax_serialization
 
@@ -51,6 +52,10 @@ _BUCKET = 4096  # minimum full-cloud padding granularity
 # eval forwards at / beyond this cloud size stream the LFA neighbour
 # pipeline in chunks (models/large.py) so 1M-point clouds fit in HBM
 _LARGE_FORWARD_MIN = LARGE_FORWARD_MIN_POINTS
+# batched eval forwards with more total points than this run per cloud
+# (lax.map): batched row gathers leave the fast-gather regime past ~128k
+# table rows (benchmarks/RESULTS.md "Batched row gathers")
+_BATCHED_PER_CLOUD_MIN = 131072
 
 
 def _bucket(n: int) -> int:
@@ -106,6 +111,22 @@ class Model:
             if inputs.shape[1] >= _LARGE_FORWARD_MIN:
                 return forward_eval_large(
                     variables, settings, inputs, permutation
+                )
+            if (
+                inputs.shape[0] > 1
+                and inputs.shape[0] * inputs.shape[1] > _BATCHED_PER_CLOUD_MIN
+            ):
+                # Eval-mode BN reads running stats, so clouds are fully
+                # independent: running the forward per cloud is numerically
+                # identical and keeps every gather/KNN stage in the
+                # single-cloud table-locality regime (batched row gathers
+                # slow ~linearly with table size past ~128k rows —
+                # benchmarks/RESULTS.md "Batched row gathers").
+                return lax.map(
+                    lambda xb: self._module.apply(
+                        variables, xb[None], permutation, train=False
+                    )[0],
+                    inputs,
                 )
             return self._module.apply(variables, inputs, permutation, train=False)
 

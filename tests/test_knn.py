@@ -106,6 +106,19 @@ class TestKnnXla:
         assert out.shape == (1, 2, 2, 4)
         np.testing.assert_array_equal(np.asarray(out)[0, 0, 1], np.arange(20, 24))
 
+    def test_gather_neighbors_big_batched_path(self):
+        # B·N > 131072 routes to the dependency-chained per-batch gathers;
+        # must stay exact (and NaN feature values must not corrupt indices
+        # through the serialization token)
+        rng = np.random.RandomState(0)
+        B, N, M, K, C = 3, 50000, 40, 4, 2
+        feats = rng.randn(B, N, C).astype(np.float32)
+        feats[0, :, :] = np.nan  # poison the token source batch
+        idx = rng.randint(0, N, (B, M, K)).astype(np.int32)
+        out = np.asarray(gather_neighbors(jnp.asarray(feats), jnp.asarray(idx)))
+        expected = np.stack([feats[b][idx[b]] for b in range(B)])
+        np.testing.assert_array_equal(out, expected)
+
 
 class TestKnnPallas:
     @pytest.mark.parametrize(

@@ -57,6 +57,29 @@ class TestPredict:
         conf = tiny_model.predict(clouds)
         assert conf.shape == (3, 2, 500)
 
+    def test_batched_per_cloud_forward_matches_joint(self, monkeypatch):
+        # past _BATCHED_PER_CLOUD_MIN total points, batched eval forwards
+        # run per cloud (lax.map); eval-mode BN reads running stats so the
+        # result matches the joint batched program to float tolerance
+        from recognizer3d_tpu.models import facade
+
+        import jax.numpy as jnp
+
+        settings = RandLANetSettings(**TINY)
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(3, 64, 3).astype(np.float32)
+        )
+        perm = jnp.arange(64, dtype=np.int32)
+        model = Model(settings, seed=0)
+        joint = np.asarray(model._forward_jit(model.variables, x, perm))
+
+        monkeypatch.setattr(facade, "_BATCHED_PER_CLOUD_MIN", 100)
+        per_cloud_model = Model(settings, seed=0)
+        per_cloud = np.asarray(
+            per_cloud_model._forward_jit(per_cloud_model.variables, x, perm)
+        )
+        np.testing.assert_allclose(per_cloud, joint, atol=1e-6, rtol=1e-5)
+
     def test_tiny_cloud_padded(self, tiny_model):
         # the reference warms up with a 30-point cloud (predict.py:23-24)
         cloud = np.random.RandomState(0).random((30, 3)).astype(np.float32)

@@ -33,8 +33,12 @@ MODELS_DIR = Path("models")
 LOG_ROOT = Path("training_log")
 
 
-def app_model_config() -> RandLANetSettings:
-    """The hardcoded production model config (reference train.py:50-51)."""
+def app_model_config(compute_dtype: str = "float32") -> RandLANetSettings:
+    """The hardcoded production model config (reference train.py:50-51).
+
+    ``compute_dtype`` is this framework's additive mixed-precision knob
+    (models/settings.py): "bfloat16" trains with a bf16 activation chain
+    and float32 master weights."""
     return RandLANetSettings(
         n_classes=2,
         n_features=0,
@@ -42,6 +46,7 @@ def app_model_config() -> RandLANetSettings:
         n_points=2500,
         n_neighbors=32,
         decimation=4,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -70,12 +75,15 @@ class TrainingJob:
         self._latest = 1
 
     @classmethod
-    def launch(cls, dataset_dirs: List[Path]) -> "TrainingJob":
+    def launch(
+        cls, dataset_dirs: List[Path], compute_dtype: str = "float32"
+    ) -> "TrainingJob":
         """Start training ``dataset_dirs`` in a fresh spawned process."""
         ctx = get_context("spawn")
         progress_queue = ctx.Queue()
         process = ctx.Process(
-            target=run_training, args=(dataset_dirs, progress_queue)
+            target=run_training,
+            args=(dataset_dirs, progress_queue, compute_dtype),
         )
         process.start()
         return cls(process, progress_queue)
@@ -112,7 +120,11 @@ def _start_tensorboard_server(logdir: Path) -> None:
         pass
 
 
-def run_training(dataset_dirs: List[Path], progress_queue=None) -> Path:
+def run_training(
+    dataset_dirs: List[Path],
+    progress_queue=None,
+    compute_dtype: str = "float32",
+) -> Path:
     """The app training recipe; returns the saved model path."""
     merged = DatasetMerged(
         [Dataset(d, broaden_annotations=True) for d in dataset_dirs]
@@ -140,7 +152,7 @@ def run_training(dataset_dirs: List[Path], progress_queue=None) -> Path:
         if progress_queue is not None:
             progress_queue.put(int(100 * epoch / training.epochs))
 
-    model = Model(app_model_config(), use_gpu=True)
+    model = Model(app_model_config(compute_dtype), use_gpu=True)
     model.train(
         train_split,
         val_split,
@@ -176,11 +188,20 @@ def _cli() -> None:
         help="Select one or multiple datasets to train on. "
         "Paths should be relative to main project directory",
     )
+    parser.add_argument(
+        "--compute-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="Activation dtype for the model's dense/attention chain; "
+        "bfloat16 trains mixed-precision with float32 master weights",
+    )
     args = parser.parse_args()
 
     project_dir = Path(__file__).absolute().parent
     started = time()
-    job = TrainingJob.launch([project_dir / d for d in args.dataset])
+    job = TrainingJob.launch(
+        [project_dir / d for d in args.dataset], args.compute_dtype
+    )
     while True:
         percent = job.poll()
         print(percent)
