@@ -1,9 +1,10 @@
 """Sensor layer: auto-detect an Intel RealSense L515, else fall back to the
-mock camera replaying ``data/mock`` (parity with
+mock camera replaying recorded frames (parity with
 ``/root/reference/camera/__init__.py:11-21``). The RealSense SDK import is
 optional — on hosts without pyrealsense2 (e.g. the TPU machine) the mock is
 used directly."""
 
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -11,10 +12,22 @@ from recognizer3d_tpu.camera.base_camera import Camera
 from recognizer3d_tpu.camera.mock_camera import MockRealsenseCamera
 from recognizer3d_tpu.data.dataset import Dataset
 
+#: Searched in order for the mock camera's replay frames when no
+#: ``mock_data_path`` is given: an explicit override env var, real L515
+#: captures when a reference checkout is present (genuine ~140k-point
+#: live frames — the most faithful no-hardware backend), then the repo's
+#: generated synthetic fixture (bin/make_mock_data).
+MOCK_DATA_SEARCH_PATH = (
+    os.environ.get("RECOGNIZER3D_MOCK_DATA"),
+    Path("/root/reference/data/mock"),
+    Path("data") / "mock",
+)
+
 
 def auto_connect_camera(mock_data_path: Optional[Path] = None) -> Camera:
     """Return a RealsenseCamera when an L515 is attached, else a mock camera
-    over ``data/mock`` (or ``mock_data_path``)."""
+    over ``mock_data_path`` (default: first non-empty entry of
+    ``MOCK_DATA_SEARCH_PATH``)."""
     try:
         from pyrealsense2 import pyrealsense2 as rs
 
@@ -28,10 +41,18 @@ def auto_connect_camera(mock_data_path: Optional[Path] = None) -> Camera:
     except ImportError:
         pass
 
-    if mock_data_path is None:
-        mock_data_path = Path("data") / "mock"
-    return MockRealsenseCamera(
-        "mock", Dataset(mock_data_path, only_annotated=False)
+    candidates = (
+        [mock_data_path]
+        if mock_data_path is not None
+        else [Path(p) for p in MOCK_DATA_SEARCH_PATH if p]
+    )
+    for path in candidates:
+        dataset = Dataset(path, only_annotated=False)
+        if path.is_dir() and len(dataset) > 0:
+            return MockRealsenseCamera("mock", dataset)
+    raise Exception(
+        f"No mock frames found in any of {[str(c) for c in candidates]}; "
+        "generate some with bin/make_mock_data or set RECOGNIZER3D_MOCK_DATA."
     )
 
 

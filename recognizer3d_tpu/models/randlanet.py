@@ -141,6 +141,80 @@ def relative_position_encoding(
     )
 
 
+class _RPEKernel(nn.Module):
+    """Parameter holder matching the nn.Dense inside a SharedMLP (path
+    ``.../conv/{kernel,bias}``) so archives are interchangeable with the
+    unfused formulation (and with reference torch checkpoints via
+    models/torch_compat.py)."""
+
+    half: int
+
+    def setup(self):
+        init = _torch_uniform_init(10)
+        self.kernel = self.param("kernel", init, (10, self.half))
+        self.bias = self.param("bias", init, (self.half,))
+
+
+class FusedRPEMLP(nn.Module):
+    """``mlp_rpe1`` (SharedMLP over the 10-channel LocSE encoding,
+    reference modules.py:153-186 + :289) restructured for TPU.
+
+    The reference materialises ``rpe = [center, nbr, center − nbr, dist]``
+    (B, N, K, 10) and matmuls it to ``half`` channels. That Dense is linear
+    in its concat inputs, so it splits exactly:
+
+        W·rpe + b = (Wc + Wd)·center + (Wn − Wd)·nbr + w·dist + b
+
+    The center term is a per-POINT (B, N, 3)→(B, N, half) projection
+    broadcast over K; the neighbour term is the SAME projection of the
+    support cloud, so it can be computed before the KNN and ride the
+    combined neighbour-row gather (TPU row gathers are flat in channel
+    width). This removes the (B, N, K, 10) concat, its N·K×10×half matmul,
+    and the XLA layout copies both inserted around the gather→matmul pair
+    (~10 ms of the 64k forward — benchmarks/RESULTS.md), while keeping the
+    parameter tree (and BN semantics) of the unfused SharedMLP.
+    """
+
+    half: int
+    dtype: str = "float32"
+
+    def setup(self):
+        self.conv = _RPEKernel(self.half, name="conv")
+        self.batch_norm = nn.BatchNorm(
+            momentum=0.01, epsilon=1e-6, dtype=jnp.dtype(self.dtype)
+        )
+
+    def support_projection(self, xyz: jax.Array) -> jax.Array:
+        """(B, N, 3) → (B, N, half) neighbour-term rows ``(Wn − Wd)·xyz``,
+        to be gathered alongside the feature rows (float32: geometry)."""
+        k = self.conv.kernel
+        return xyz @ (k[3:6] - k[6:9])
+
+    def __call__(
+        self,
+        xyz: jax.Array,
+        q_gathered: jax.Array,
+        distances: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        """:param xyz: (B, N, 3) query/center coordinates.
+        :param q_gathered: (B, N, K, half) gathered support projections.
+        :param distances: (B, N, K) euclidean neighbour distances.
+        :return: (B, N, K, half) — relu(BN(Dense(rpe)))."""
+        k = self.conv.kernel
+        center = xyz @ (k[0:3] + k[6:9])  # (B, N, half)
+        out = (
+            center[:, :, None, :]
+            + q_gathered
+            + distances[..., None] * k[9]
+            + self.conv.bias
+        )
+        out = self.batch_norm(
+            out.astype(jnp.dtype(self.dtype)), use_running_average=not train
+        )
+        return nn.relu(out)
+
+
 class AttentivePooling(nn.Module):
     """Attention over the K neighbours (modules.py:224-253)."""
 
@@ -211,11 +285,16 @@ class LocalFeatureAggregation(nn.Module):
             features, train=train
         )
         # first locSE + attentive pooling. Gather cost on TPU is per-ROW
-        # (flat in channel count), so neighbour xyz and features are fetched
-        # in ONE combined gather instead of two. The gather table stays
+        # (flat in channel count), so the mlp_rpe1 neighbour-term rows (see
+        # FusedRPEMLP — they REPLACE the raw neighbour xyz) and the feature
+        # rows are fetched in ONE combined gather. The gather table stays
         # float32 even under compute_dtype=bfloat16: row-gather cost is flat
         # in channel width, and the RPE geometry must stay exact.
-        table = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
+        rpe_mlp = FusedRPEMLP(half, dtype=dt, name="mlp_rpe1")
+        table = jnp.concatenate(
+            [rpe_mlp.support_projection(xyz), feats.astype(jnp.float32)],
+            axis=-1,
+        )
         if self.backend is not None:
             neighbors, d2, gathered = self.backend.knn_gather(
                 xyz, xyz, table, self.n_neighbors
@@ -229,16 +308,11 @@ class LocalFeatureAggregation(nn.Module):
                 neighbors, d2 = knn(
                     xyz, xyz, self.n_neighbors, self.knn_approach
                 )
-            gathered = gather_neighbors(table, neighbors)  # (B, N, K, 3 + half)
+            gathered = gather_neighbors(table, neighbors)  # (B, N, K, 2·half)
         distances = jnp.sqrt(d2)
-        rpe = relative_position_encoding(
-            xyz, neighbors, distances, neighbor_xyz=gathered[..., :3]
-        )
-        rpe = SharedMLP(half, activation="relu", dtype=dt, name="mlp_rpe1")(
-            rpe, train=train
-        )
+        rpe = rpe_mlp(xyz, gathered[..., :half], distances, train=train)
         cat = jnp.concatenate(
-            [rpe, gathered[..., 3:].astype(rpe.dtype)], axis=-1
+            [rpe, gathered[..., half:].astype(rpe.dtype)], axis=-1
         )  # (B, N, K, n_out)
         feats = AttentivePooling(half, dtype=dt, name="pool1")(cat, train=train)
         # second locSE + attentive pooling

@@ -693,10 +693,15 @@ def knn_pallas(
 
 
 def _presorted_blocks(n: int, m: int, query_block, support_tile):
+    # qb=128 × ts=1024 wins the v5e sweep at EVERY size tried (4k, 16k,
+    # 64k — benchmarks/sweep_blocks.py): bigger query blocks span a wider
+    # Morton range, so their per-block thresholds stay loose and the
+    # extraction merge runs longer (4k: 2.3 ms at qb=256/ts=512 vs
+    # 1.04 ms at qb=128/ts=1024); smaller ones duplicate tile visits.
     if support_tile is None:
-        support_tile = 512 if n <= 8192 else 1024
+        support_tile = 1024
     if query_block is None:
-        query_block = 256 if m <= 8192 else 128
+        query_block = 128
     ts = min(support_tile, _round_up(n, 128))
     qb = min(query_block, _round_up(m, 8))
     return qb, ts

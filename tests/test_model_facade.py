@@ -258,3 +258,56 @@ class TestTrainEvaluate:
             postprocess=True,
         )
         assert np.isfinite(metrics["mIoU"])
+
+
+class TestFusedRPEMLP:
+    """The fused mlp_rpe1 (models/randlanet.py FusedRPEMLP) must equal the
+    reference's unfused formulation: Dense over the explicit 10-channel
+    [center, neighbour, center − neighbour, distance] encoding
+    (reference modules.py:153-186, :289)."""
+
+    def test_matches_unfused_dense(self):
+        import jax
+        import jax.numpy as jnp
+
+        from recognizer3d_tpu.models.randlanet import (
+            FusedRPEMLP,
+            gather_neighbors,
+            relative_position_encoding,
+        )
+        from recognizer3d_tpu.ops.knn import knn
+
+        rng = np.random.RandomState(0)
+        xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        half = 8
+        neighbors, d2 = knn(xyz, xyz, 4, "naive")
+        dist = jnp.sqrt(d2)
+
+        mod = FusedRPEMLP(half)
+        q = mod.init(
+            jax.random.PRNGKey(1),
+            xyz,
+            jnp.zeros((2, 64, 4, half), jnp.float32),
+            dist,
+        )
+        q_rows = mod.apply(q, xyz, method=FusedRPEMLP.support_projection)
+        fused = mod.apply(
+            q, xyz, gather_neighbors(q_rows, neighbors), dist, train=False
+        )
+
+        # unfused: explicit 10-channel encoding through the same weights
+        rpe = relative_position_encoding(
+            xyz, neighbors, dist, gather_neighbors(xyz, neighbors)
+        )
+        kernel = q["params"]["conv"]["kernel"]
+        bias = q["params"]["conv"]["bias"]
+        dense = rpe @ kernel + bias
+        scale = q["params"]["batch_norm"]["scale"]
+        shift = q["params"]["batch_norm"]["bias"]
+        mean = q["batch_stats"]["batch_norm"]["mean"]
+        var = q["batch_stats"]["batch_norm"]["var"]
+        ref = (dense - mean) / np.sqrt(var + 1e-6) * scale + shift
+        ref = np.maximum(np.asarray(ref), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(fused), ref, atol=1e-5, rtol=1e-4
+        )
