@@ -126,6 +126,7 @@ def _knn_kernel(
     ts: int,
     n_tiles: int,
     hbm: bool,
+    mc: int,
 ):
     qb = q_ref.shape[1]
     q = q_ref[0]  # (QB, 3)
@@ -235,10 +236,20 @@ def _knn_kernel(
                 pltpu.bitcast(d2, jnp.int32) & jnp.int32(~1023)
             ) | lane_ts
 
-            def extract_insert(key_prev):
-                """Extract the next-smallest packed key + sorted insertion.
-                Returns (key, trunc_lb, accepted)."""
-                km = tile_key_ref[:]
+            # The extraction merge runs over MC-lane sub-chunks of the tile
+            # (mc == ts degenerates to one chunk): each pass's VMEM sweep
+            # shrinks ts/mc-fold while the pass count stays ~constant (one
+            # extracted winner per pass either way), so the bandwidth-bound
+            # merge gets cheaper on winner-dense tiles; sparse tiles pay
+            # n_sub minimum passes of (QB, MC) — the same bytes as one
+            # (QB, TS) pass. Keys carry the FULL-tile lane (10 bits), so
+            # sub-chunk extraction recovers global positions unchanged, and
+            # the per-sub-chunk stop test is the same truncated-lower-bound
+            # argument as before (keys ascend within a sub-chunk).
+            def extract_insert(off, key_prev):
+                """Extract the next-smallest packed key of the sub-chunk at
+                ``off`` + sorted insertion. Returns (key, accepted)."""
+                km = tile_key_ref[:, pl.ds(off, mc)]
                 ke = jnp.where(km > key_prev, km, jnp.int32(0x7FFFFFFF))
                 kmin = jnp.min(ke, axis=1, keepdims=True)  # (QB, 1)
                 pos = kmin & 1023
@@ -246,7 +257,9 @@ def _knn_kernel(
                 # per lane, so the equality match is the winner lane alone;
                 # an exhausted row matches every excluded lane -> guard it)
                 m = jnp.min(
-                    jnp.where(ke == kmin, tile_d2_ref[:], jnp.inf),
+                    jnp.where(
+                        ke == kmin, tile_d2_ref[:, pl.ds(off, mc)], jnp.inf
+                    ),
                     axis=1,
                     keepdims=True,
                 )
@@ -282,35 +295,40 @@ def _knn_kernel(
                 best_i_ref[:] = jnp.where(
                     keep, best_i, jnp.where(put, sel, shifted_i)
                 )
-                return kmin, m_lb, m_lb < th
+                return kmin, m_lb < th
 
             def ext_cond(c):
                 j, go, _key = c
                 # `go` is the exact stop (truncated-lower-bound test). The
                 # j bound cannot cut extraction short: keys strictly
-                # increase per pass, so after ts passes every lane is
-                # exhausted and `go` is already false — but it gives the
-                # loop a static trip bound. A cap near k would be WRONG:
-                # candidates sharing a 1024-ULP truncation bucket straddling
-                # a threshold can burn passes without inserting, and a true
-                # winner may sort after them within the bucket.
-                return go & (j < ts)
+                # increase per pass, so after mc passes every lane of the
+                # sub-chunk is exhausted and `go` is already false — but it
+                # gives the loop a static trip bound. A cap near k would be
+                # WRONG: candidates sharing a 1024-ULP truncation bucket
+                # straddling a threshold can burn passes without inserting,
+                # and a true winner may sort after them within the bucket.
+                return go & (j < mc)
 
-            def ext_body(c):
-                j, _go, key_prev = c
-                key1, _lb1, _acc1 = extract_insert(key_prev)
-                key2, _lb2, acc2 = extract_insert(key1)
-                return j + 2, jnp.any(acc2), key2
+            def sub_scan(c, _):
+                off = c * mc
 
-            lax.while_loop(
-                ext_cond,
-                ext_body,
-                (
-                    jnp.int32(0),
-                    jnp.bool_(True),
-                    jnp.full((qb, 1), -1, jnp.int32),
-                ),
-            )
+                def ext_body(carry):
+                    j, _go, key_prev = carry
+                    key1, acc1 = extract_insert(off, key_prev)
+                    return j + 1, jnp.any(acc1), key1
+
+                lax.while_loop(
+                    ext_cond,
+                    ext_body,
+                    (
+                        jnp.int32(0),
+                        jnp.bool_(True),
+                        jnp.full((qb, 1), -1, jnp.int32),
+                    ),
+                )
+                return 0
+
+            lax.fori_loop(0, ts // mc, sub_scan, 0)
 
         theta_all = jnp.sum(
             jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
@@ -516,6 +534,9 @@ def argmin_pallas(
 # support arrays larger than this stay in HBM with on-demand tile DMA
 _VMEM_SUPPORT_LIMIT_BYTES = 4 * 1024 * 1024
 
+# default extraction-merge sub-chunk width (lanes); see _knn_kernel
+_MERGE_CHUNK = 1024
+
 
 def _knn_pallas_sorted(
     support: jax.Array,
@@ -524,13 +545,21 @@ def _knn_pallas_sorted(
     qb: int,
     ts: int,
     interpret: bool,
+    mc: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """KNN on Morton-sorted inputs; returns indices into the sorted support.
     support (B, N_pad, 3) with N_pad % ts == 0; query (B, M_pad, 3) with
-    M_pad % qb == 0."""
+    M_pad % qb == 0. ``mc`` is the extraction-merge sub-chunk width
+    (default ``_MERGE_CHUNK``, clamped to ts; must divide ts)."""
     assert ts <= 1024, (
         f"support tile {ts} > 1024: the packed merge keys carry the lane "
         "index in the low 10 bits"
+    )
+    if mc is None:
+        mc = _MERGE_CHUNK
+    mc = min(mc, ts)
+    assert ts % mc == 0 and mc % 128 == 0, (
+        f"merge chunk {mc} must be a multiple of 128 dividing ts={ts}"
     )
     B, n_pad, _ = support.shape
     m_pad = query.shape[1]
@@ -560,7 +589,7 @@ def _knn_pallas_sorted(
     def kernel(*refs):
         if not hbm:
             refs = refs + (None, None)  # no s_tile_ref / dma_sem
-        _knn_kernel(*refs, k=k, ts=ts, n_tiles=n_tiles, hbm=hbm)
+        _knn_kernel(*refs, k=k, ts=ts, n_tiles=n_tiles, hbm=hbm, mc=mc)
 
     idx, d2 = pl.pallas_call(
         kernel,
@@ -664,6 +693,7 @@ def knn_pallas(
     query_block: int = None,
     support_tile: int = None,
     interpret: bool = None,
+    merge_chunk: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact KNN via the fused Morton/cull/merge kernel.
 
@@ -687,7 +717,7 @@ def knn_pallas(
         support, query, qb, ts
     )
     idx_sorted, d2_sorted = _knn_pallas_sorted(
-        s_sorted, q_sorted, k, qb, ts, interpret
+        s_sorted, q_sorted, k, qb, ts, interpret, merge_chunk
     )
     return _unsort_results(idx_sorted, d2_sorted, s_order, q_order, m)
 
@@ -714,6 +744,7 @@ def knn_pallas_presorted(
     query_block: int = None,
     support_tile: int = None,
     interpret: bool = None,
+    merge_chunk: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact KNN on inputs the caller has ALREADY Morton-sorted (via
     :func:`morton_order`): indices are into the GIVEN support order and rows
@@ -731,7 +762,9 @@ def knn_pallas_presorted(
     assert k <= _KB, f"k={k} > {_KB} not supported by the pallas kernel"
     qb, ts = _presorted_blocks(n, m, query_block, support_tile)
     s_pad, q_pad = _pad_blocks(support, query, qb, ts)
-    idx, d2 = _knn_pallas_sorted(s_pad, q_pad, k, qb, ts, interpret)
+    idx, d2 = _knn_pallas_sorted(
+        s_pad, q_pad, k, qb, ts, interpret, merge_chunk
+    )
     return idx[:, :m], d2[:, :m]
 
 
