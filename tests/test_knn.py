@@ -132,6 +132,14 @@ class TestKnnPallas:
         i, d = knn_pallas(s, q, k, interpret=True)
         _assert_matches_oracle(i, d, s, q, k)
 
+    @pytest.mark.parametrize("mc", [128, 256, 512])
+    def test_merge_chunk_matches_oracle(self, mc):
+        """The sub-chunked extraction merge stays exact at every width."""
+        rng = np.random.RandomState(7)
+        s = jnp.asarray(rng.rand(1, 1500, 3).astype(np.float32))
+        i, d = knn_pallas(s, s, 16, interpret=True, merge_chunk=mc)
+        _assert_matches_oracle(i, d, s, s, 16)
+
     def test_self_knn_includes_self(self):
         rng = np.random.RandomState(2)
         s = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))

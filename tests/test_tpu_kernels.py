@@ -53,6 +53,24 @@ class TestCompiledKernels:
         check = np.sum((pts - np.asarray(s)[0][:, None, :]) ** 2, -1)
         np.testing.assert_allclose(check, np.asarray(d2)[0], atol=1e-5)
 
+    def test_knn_pallas_merge_chunk_compiled(self):
+        """The sub-chunked merge (dynamic lane slicing) compiles and stays
+        exact under Mosaic."""
+        _require_tpu()
+        from recognizer3d_tpu.ops.knn_pallas import knn_pallas
+
+        rng = np.random.RandomState(5)
+        s = jnp.asarray(rng.rand(1, 4096, 3).astype(np.float32))
+        for mc in (128, 256):
+            idx, d2 = knn_pallas(s, s, 32, interpret=False, merge_chunk=mc)
+            pts = np.asarray(s)[0][np.asarray(idx)[0]]
+            check = np.sum((pts - np.asarray(s)[0][:, None, :]) ** 2, -1)
+            np.testing.assert_allclose(check, np.asarray(d2)[0], atol=1e-5)
+            _, ref_d2 = _oracle(s, s, 32)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(d2), -1), np.sort(ref_d2, -1), atol=1e-5
+            )
+
     def test_knn_pallas_hbm_variant(self):
         """Support past the VMEM limit exercises the HBM tile-DMA path."""
         _require_tpu()
