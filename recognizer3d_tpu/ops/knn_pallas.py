@@ -112,6 +112,8 @@ def _knn_kernel(
     #          hbm=True (tiles DMA'd on demand — culled tiles cost zero
     #          HBM traffic)
     bbox_ref,  # (1, 8, n_tiles) per-tile [min xyz | max xyz | pad pad] rows
+    sbbox_ref,  # (1, 8, n_tiles*ts/mc) per-MERGE-SUB-CHUNK bbox rows, or
+    #            None when mc == ts (sub-chunk pre-cull disabled)
     idx_ref,  # out (1, QB, 128) int32 (into sorted support; lanes >= k junk)
     d2_ref,  # out (1, QB, 128) f32
     best_d_ref,  # scratch VMEM (QB, 128) running best (sorted, +inf padded)
@@ -309,26 +311,71 @@ def _knn_kernel(
                 # and a true winner may sort after them within the bucket.
                 return go & (j < mc)
 
+            n_sub = ts // mc
+
             def sub_scan(c, _):
                 off = c * mc
 
-                def ext_body(carry):
-                    j, _go, key_prev = carry
-                    key1, acc1 = extract_insert(off, key_prev)
-                    return j + 1, jnp.any(acc1), key1
+                def run_merge():
+                    def ext_body(carry):
+                        j, _go, key_prev = carry
+                        key1, acc1 = extract_insert(off, key_prev)
+                        return j + 1, jnp.any(acc1), key1
 
-                lax.while_loop(
-                    ext_cond,
-                    ext_body,
-                    (
-                        jnp.int32(0),
-                        jnp.bool_(True),
-                        jnp.full((qb, 1), -1, jnp.int32),
-                    ),
-                )
+                    lax.while_loop(
+                        ext_cond,
+                        ext_body,
+                        (
+                            jnp.int32(0),
+                            jnp.bool_(True),
+                            jnp.full((qb, 1), -1, jnp.int32),
+                        ),
+                    )
+
+                if sbbox_ref is None:
+                    run_merge()
+                else:
+                    # per-sub-chunk bbox pre-cull: skip the merge when no
+                    # query's lower bound to this sub-chunk's box beats its
+                    # CURRENT k-th best. Exact for the same reason as the
+                    # tile-level cull — thresholds only tighten later, so a
+                    # skipped sub-chunk stays skippable. Costs ~1 sweep of
+                    # (QB, KB) + a few (1, n_sub_total) masked sums, vs the
+                    # ≥4 (QB, MC) sweeps of a wasted first extraction pass.
+                    s_idx = t * n_sub + c
+                    lane_ns = lax.broadcasted_iota(
+                        jnp.int32, (1, sbbox_ref.shape[2]), 1
+                    )
+                    sel_s = lane_ns == s_idx
+                    lbq_s = jnp.zeros((qb, 1), jnp.float32)
+                    for d, qc in enumerate((qx, qy, qz)):
+                        # (1, 1) vector bounds — a full scalar reduction
+                        # would cost a scalar-core sync per coordinate
+                        lo = jnp.sum(
+                            jnp.where(sel_s, sbbox_ref[0, d : d + 1, :], 0.0),
+                            axis=1,
+                            keepdims=True,
+                        )
+                        hi = jnp.sum(
+                            jnp.where(
+                                sel_s, sbbox_ref[0, 3 + d : 4 + d, :], 0.0
+                            ),
+                            axis=1,
+                            keepdims=True,
+                        )
+                        delta = jnp.maximum(lo - qc, 0.0) + jnp.maximum(
+                            qc - hi, 0.0
+                        )
+                        lbq_s = lbq_s + delta * delta
+                    th_s = jnp.sum(
+                        jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
+                        axis=1,
+                        keepdims=True,
+                    )
+                    pl.when(jnp.any(lbq_s < th_s))(run_merge)
                 return 0
 
-            lax.fori_loop(0, ts // mc, sub_scan, 0)
+            lax.fori_loop(0, n_sub, sub_scan, 0)
 
         theta_all = jnp.sum(
             jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
@@ -564,6 +611,18 @@ def _knn_pallas_sorted(
     B, n_pad, _ = support.shape
     m_pad = query.shape[1]
     bbox, support_t, n_tiles = _tile_prep(support, ts)
+    sub_cull = mc < ts
+    if sub_cull:
+        # per-merge-sub-chunk bboxes for the in-merge pre-cull
+        subs = support.reshape(B, n_pad // mc, mc, 3)
+        sbbox = jnp.concatenate(
+            [
+                jnp.swapaxes(jnp.min(subs, axis=2), 1, 2),
+                jnp.swapaxes(jnp.max(subs, axis=2), 1, 2),
+                jnp.zeros((B, 2, n_pad // mc), support.dtype),
+            ],
+            axis=1,
+        )
 
     grid = (B, m_pad // qb)
     hbm = n_pad * 3 * 4 > _VMEM_SUPPORT_LIMIT_BYTES and not interpret
@@ -587,24 +646,38 @@ def _knn_pallas_sorted(
         scratch = common_scratch
 
     def kernel(*refs):
+        if not sub_cull:
+            refs = refs[:3] + (None,) + refs[3:]  # no sbbox_ref
         if not hbm:
             refs = refs + (None, None)  # no s_tile_ref / dma_sem
         _knn_kernel(*refs, k=k, ts=ts, n_tiles=n_tiles, hbm=hbm, mc=mc)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        support_spec,
+        pl.BlockSpec(
+            (1, 8, n_tiles),
+            lambda b, i: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [query, support_t, bbox]
+    if sub_cull:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 8, n_pad // mc),
+                lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(sbbox)
+
     idx, d2 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, qb, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            support_spec,
-            pl.BlockSpec(
-                (1, 8, n_tiles),
-                lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, qb, _KB), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -619,7 +692,7 @@ def _knn_pallas_sorted(
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(query, support_t, bbox)
+    )(*inputs)
     return idx[..., :k], jnp.maximum(d2[..., :k], 0.0)
 
 
