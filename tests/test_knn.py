@@ -132,6 +132,37 @@ class TestKnnPallas:
         i, d = knn_pallas(s, q, k, interpret=True)
         _assert_matches_oracle(i, d, s, q, k)
 
+    def test_degenerate_all_identical(self):
+        """Every point at the same location: all-zero distances, k distinct
+        indices each (ties everywhere — the packed-key lane tiebreak)."""
+        s = jnp.zeros((1, 640, 3), jnp.float32)
+        i, d = knn_pallas(s, s, 8, interpret=True)
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=0.0)
+        ii = np.asarray(i)[0]
+        assert all(len(set(row.tolist())) == 8 for row in ii), (
+            "tied neighbours must still be k DISTINCT support points"
+        )
+
+    @pytest.mark.parametrize("mc", [256, 1024])
+    def test_degenerate_duplicated_clusters(self, mc):
+        """A handful of duplicated locations (zero-volume tile boxes, mass
+        ties) stays exact under both merge widths."""
+        rng = np.random.RandomState(11)
+        locs = rng.rand(5, 3).astype(np.float32)
+        pts = locs[rng.randint(0, 5, 900)]
+        s = jnp.asarray(pts[None])
+        i, d = knn_pallas(s, s, 16, interpret=True, merge_chunk=mc)
+        _assert_matches_oracle(i, d, s, s, 16)
+
+    def test_degenerate_collinear(self):
+        """Axis-collinear cloud (degenerate bboxes in two dims)."""
+        rng = np.random.RandomState(12)
+        x = np.sort(rng.rand(1, 700).astype(np.float32), axis=1)
+        pts = np.stack([x, np.zeros_like(x), np.zeros_like(x)], axis=-1)
+        s = jnp.asarray(pts)
+        i, d = knn_pallas(s, s, 8, interpret=True, merge_chunk=128)
+        _assert_matches_oracle(i, d, s, s, 8)
+
     @pytest.mark.parametrize("mc", [128, 256, 512])
     def test_merge_chunk_matches_oracle(self, mc):
         """The sub-chunked extraction merge stays exact at every width."""
