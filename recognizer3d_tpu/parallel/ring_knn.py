@@ -31,13 +31,14 @@ except ImportError:  # pragma: no cover - older jax
 from recognizer3d_tpu.ops.knn import knn_naive
 
 
-def _vary(x, axis_name):
-    """Mark an array as varying over the mesh axis (shard_map typing; the
-    pcast/pvary API differs across jax versions)."""
+def _vary(x, axes):
+    """Mark an array as varying over the given mesh axes (shard_map typing;
+    the pcast/pvary API differs across jax versions)."""
+    axes = (axes,) if isinstance(axes, str) else tuple(a for a in axes if a)
     try:
-        return lax.pcast(x, (axis_name,), to="varying")
+        return lax.pcast(x, axes, to="varying")
     except (AttributeError, TypeError):
-        return lax.pvary(x, (axis_name,))
+        return lax.pvary(x, axes)
 
 
 def _ring_knn_local(
@@ -45,6 +46,7 @@ def _ring_knn_local(
     query_shard: jax.Array,
     k: int,
     axis_name: str,
+    vary_axes: tuple = (),
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-device body (inside shard_map): support/query (B, n_loc, 3)."""
     n_devices = lax.axis_size(axis_name)
@@ -68,10 +70,13 @@ def _ring_knn_local(
         visiting = lax.ppermute(visiting, axis_name, perm)
         return (new_d, new_i, visiting), None
 
-    # mark the init carries as varying over the mesh axis (shard_map typing)
+    # mark the init carries as varying over every manual mesh axis the
+    # computed carries vary over (shard_map typing; on a DP×SP mesh that
+    # includes the batch axis)
+    vary = vary_axes or (axis_name,)
     init = (
-        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32), axis_name),
-        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32), axis_name),
+        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32), vary),
+        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32), vary),
         support_shard,
     )
     (best_d, best_i, _), _ = lax.scan(
@@ -99,7 +104,12 @@ def ring_knn(
     """
     spec = P(batch_axis, axis_name, None)
     f = shard_map(
-        partial(_ring_knn_local, k=k, axis_name=axis_name),
+        partial(
+            _ring_knn_local,
+            k=k,
+            axis_name=axis_name,
+            vary_axes=(axis_name, batch_axis),
+        ),
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec),
@@ -113,6 +123,7 @@ def _ring_knn_gather_local(
     feat_shard: jax.Array,
     k: int,
     axis_name: str,
+    vary_axes: tuple = (),
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-device body: like :func:`_ring_knn_local`, but each ring step
     also gathers the visiting shard's point FEATURES for its candidate
@@ -149,10 +160,11 @@ def _ring_knn_gather_local(
         visiting_f = lax.ppermute(visiting_f, axis_name, perm)
         return (new_d, new_i, new_f, visiting, visiting_f), None
 
+    vary = vary_axes or (axis_name,)
     init = (
-        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32), axis_name),
-        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32), axis_name),
-        _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype), axis_name),
+        _vary(jnp.full((b, m_loc, k), jnp.inf, dtype=jnp.float32), vary),
+        _vary(jnp.zeros((b, m_loc, k), dtype=jnp.int32), vary),
+        _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype), vary),
         support_shard,
         feat_shard,
     )
@@ -185,7 +197,12 @@ def ring_knn_gather(
     """
     row = P(batch_axis, axis_name, None)
     f = shard_map(
-        partial(_ring_knn_gather_local, k=k, axis_name=axis_name),
+        partial(
+            _ring_knn_gather_local,
+            k=k,
+            axis_name=axis_name,
+            vary_axes=(axis_name, batch_axis),
+        ),
         mesh=mesh,
         in_specs=(row, row, row),
         out_specs=(row, row, P(batch_axis, axis_name, None, None)),
@@ -197,6 +214,7 @@ def _ring_gather_local(
     feat_shard: jax.Array,
     idx_global: jax.Array,
     axis_name: str,
+    vary_axes: tuple = (),
 ) -> jax.Array:
     """Per-device body: gather rows of a point-sharded feature table by
     GLOBAL indices. Feature shards rotate around the ring; at each step
@@ -221,7 +239,10 @@ def _ring_gather_local(
         visiting_f = lax.ppermute(visiting_f, axis_name, perm)
         return (out, visiting_f), None
 
-    init_out = _vary(jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype), axis_name)
+    init_out = _vary(
+        jnp.zeros((b, m_loc, k, c), dtype=feat_shard.dtype),
+        vary_axes or (axis_name,),
+    )
     (out, _), _ = lax.scan(
         step,
         (init_out, feat_shard),
@@ -242,7 +263,11 @@ def ring_gather(
     neighbour features, sharded over the query axis. One rotation of the
     feature shards around the ring — no all-gather of the table."""
     f = shard_map(
-        partial(_ring_gather_local, axis_name=axis_name),
+        partial(
+            _ring_gather_local,
+            axis_name=axis_name,
+            vary_axes=(axis_name, batch_axis),
+        ),
         mesh=mesh,
         in_specs=(
             P(batch_axis, axis_name, None),

@@ -249,6 +249,43 @@ class TestPointShardedModel:
                 atol=5e-4, rtol=5e-3,
             )
 
+    def test_dp_sp_2d_mesh_forward_parity(self, eight_devices):
+        """DP×SP: batch sharded 2-way AND points 4-way on one 2-D mesh."""
+        from jax.sharding import Mesh
+
+        from recognizer3d_tpu.models.randlanet import RandLANet
+        from recognizer3d_tpu.models.settings import RandLANetSettings
+        from recognizer3d_tpu.parallel.sp_model import (
+            SPBackend,
+            point_sharded_model,
+        )
+
+        settings = RandLANetSettings(
+            n_classes=2,
+            n_points=128,
+            n_features=0,
+            n_neighbors=4,
+            decimation=2,
+            layer_sizes=[4, 8, 16, 32],
+            knn="naive",
+        )
+        devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devices, axis_names=("batch", "points"))
+        single = RandLANet(settings)
+        sharded = point_sharded_model(settings, mesh, batch_axis="batch")
+        backend = SPBackend(mesh, batch_axis="batch")
+        rng = np.random.RandomState(3)
+        inputs = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+        perm = jnp.asarray(rng.permutation(128).astype(np.int32))
+        variables = single.init(jax.random.PRNGKey(0), inputs, perm)
+        ref = single.apply(variables, inputs, perm, train=False)
+        got = jax.jit(
+            lambda v, x, p: sharded.apply(v, x, p, train=False)
+        )(variables, backend.shard_inputs(inputs), perm)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3
+        )
+
     def test_rejects_indivisible_levels(self, eight_devices):
         from recognizer3d_tpu.models.settings import RandLANetSettings
         from recognizer3d_tpu.parallel.sp_model import point_sharded_model
