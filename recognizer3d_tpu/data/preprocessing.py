@@ -83,75 +83,62 @@ def consistent_sample_indices(n_points: int, n_sample_points: int) -> np.ndarray
 def sample_points_balanced(
     labels, n_sample_points: int, consistent: bool = False
 ) -> np.ndarray:
-    """Class-balance-weighted sampling (preprocessing.py:65-107)."""
-    n_points = len(labels)
-    n_classes = len(np.unique(labels))
-    one_hot_encoded = np.eye(n_classes)[labels]
-    inverse_annotation = 1 - one_hot_encoded
-    normalized_inverse_annotation = inverse_annotation / np.sum(
-        inverse_annotation, axis=-1, keepdims=True
+    """Sampling weighted toward under-represented classes
+    (preprocessing.py:65-107): each point draws with probability
+    proportional to the number of points NOT in its class, so minority-
+    class points are oversampled. With a single class present this
+    degenerates to uniform sampling (the reference's intent; its one-hot
+    formulation divides 0/0 there — this version takes the uniform path
+    explicitly)."""
+    labels = np.asarray(labels).ravel()
+    n_points = labels.size
+    _, class_of, counts = np.unique(
+        labels, return_inverse=True, return_counts=True
     )
-    p_global = np.sum(normalized_inverse_annotation, axis=0) / np.sum(
-        normalized_inverse_annotation
+    weight_per_class = (n_points - counts).astype(np.float64)
+    if not weight_per_class.all():  # single class -> uniform
+        return random_choice(n_points, n_sample_points, consistent=consistent)
+    weights = weight_per_class[class_of]
+    return random_choice(
+        n_points,
+        n_sample_points,
+        p=weights / weights.sum(),
+        consistent=consistent,
     )
-    if 0 in p_global:  # only one class available
-        sample_indices = random_choice(
-            n_points, n_sample_points, consistent=consistent
-        )
-    else:
-        p_local = np.dot(one_hot_encoded, p_global.T)
-        p_local_normalized = p_local / np.sum(p_local)
-        p_local_normalized = np.squeeze(p_local_normalized)
-        sample_indices = random_choice(
-            n_points,
-            n_sample_points,
-            p=p_local_normalized,
-            consistent=consistent,
-        )
-    return sample_indices
 
 
 def sample_points_equal(
     labels, n_sample_points: int, ratio: float = 1.0, consistent: bool = False
 ) -> np.ndarray:
-    """Equal-class-representation sampling (preprocessing.py:110-171)."""
-    n_points = len(labels)
-    indices = np.arange(0, n_points)
-    sample_indices = np.array([], dtype=int)
-    unique_labels = np.unique(labels)
-    n_points_per_class = [
-        np.count_nonzero(labels == lbl) for lbl in unique_labels
-    ]
-    n_equal = int(np.round(n_sample_points / len(unique_labels)))
-    n_per_class = np.round(
-        [(n_sample_points / n_points) * npts for npts in n_points_per_class]
-    ).astype(np.int32)
-    n_per_class = np.round(
-        [ratio * n_equal + (1 - ratio) * npts for npts in n_per_class]
-    ).astype(np.int32)
+    """Per-class quota sampling (preprocessing.py:110-171): each class's
+    quota blends an equal share (``ratio=1``) with its proportional share
+    (``ratio=0``); rounding drift lands on the largest quota. Within a
+    class, indices draw without replacement, padded with duplicates when
+    the quota exceeds the class size."""
+    labels = np.asarray(labels).ravel()
+    classes, counts = np.unique(labels, return_counts=True)
+    equal_share = int(np.round(n_sample_points / classes.size))
+    prop_share = np.round(
+        counts * (n_sample_points / labels.size)
+    ).astype(np.int64)
+    quota = np.round(
+        ratio * equal_share + (1.0 - ratio) * prop_share
+    ).astype(np.int64)
+    quota[np.argmax(quota)] += n_sample_points - quota.sum()
 
-    total = np.sum(n_per_class)
-    if total != n_sample_points:
-        idx = np.argmax(n_per_class)
-        n_per_class[idx] += n_sample_points - total
-
-    for idx, cls_idx in enumerate(unique_labels):
-        selected_indices = indices[labels == cls_idx]
+    picks = []
+    for cls, n_cls, want in zip(classes, counts, quota):
+        pool = np.flatnonzero(labels == cls)
         ind = random_choice(
-            n_points_per_class[idx],
-            min(n_per_class[idx], n_points_per_class[idx]),
-            replace=False,
-            consistent=consistent,
+            n_cls, min(want, n_cls), replace=False, consistent=consistent
         )
-        if n_per_class[idx] > n_points_per_class[idx]:
-            n_dupl = n_per_class[idx] - n_points_per_class[idx]
-            ind_dupl = random_choice(
-                n_points_per_class[idx], n_dupl, replace=True,
-                consistent=consistent,
+        if want > n_cls:
+            extra = random_choice(
+                n_cls, want - n_cls, replace=True, consistent=consistent
             )
-            ind = np.r_[ind, ind_dupl]
-        sample_indices = np.append(sample_indices, selected_indices[ind])
-    return sample_indices
+            ind = np.concatenate([ind, extra])
+        picks.append(pool[ind])
+    return np.concatenate(picks)
 
 
 def sample_points_factor(
