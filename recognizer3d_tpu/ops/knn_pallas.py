@@ -605,6 +605,8 @@ def _knn_pallas_sorted(
     if mc is None:
         mc = _MERGE_CHUNK
     mc = min(mc, ts)
+    while ts % mc:  # largest 128-multiple divisor of ts not above mc
+        mc -= 128   # (ts is always a 128-multiple, so mc=128 terminates)
     assert ts % mc == 0 and mc % 128 == 0, (
         f"merge chunk {mc} must be a multiple of 128 dividing ts={ts}"
     )
