@@ -26,8 +26,9 @@ distance+select pipeline entirely:
    culled; in the ``hbm`` variant culled tiles cost zero HBM traffic.
 4. **Packed-key extraction merge**: a surviving tile's distances are packed
    into int32 keys — distance bits (the bitcast is order-preserving for
-   non-negative f32) with the low 10 bits replaced by the lane index — so
-   one integer comparison encodes the (value, lane) lexicographic order.
+   non-negative f32) with the low bits (log2(ts): 10 at ts=1024) replaced
+   by the lane index — so one integer comparison encodes the (value, lane)
+   lexicographic order.
    Each pass extracts the next-smallest key (~6 VMEM sweeps; the merge is
    bandwidth-bound) and inserts the winner into the sorted best buffer
    with one lane-shift; reported distances are exact f32 (per-winner
@@ -139,6 +140,13 @@ def _knn_kernel(
     bi = pl.program_id(0)
 
     lane_ts = lax.broadcasted_iota(jnp.int32, (qb, ts), 1)
+    # packed-key lane field: enough low bits for the tile's lane index
+    # (10 at ts=1024, 11 at ts=2048). Truncation granularity = 2^bits f32
+    # ULPs — selection stays exact regardless (the stop test uses the
+    # truncated LOWER bound; reported distances are recovered per winner).
+    lbits = max(1, (ts - 1).bit_length())
+    lmask = jnp.int32((1 << lbits) - 1)
+    lkeep = jnp.int32(~((1 << lbits) - 1))
     lane_kb = lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
     lane_nt = lax.broadcasted_iota(jnp.int32, (1, n_tiles), 1)
 
@@ -235,7 +243,7 @@ def _knn_kernel(
             # recovery, and the stop test uses the truncated LOWER bound,
             # so no candidate that could still enter any top-k is missed.
             tile_key_ref[:] = (
-                pltpu.bitcast(d2, jnp.int32) & jnp.int32(~1023)
+                pltpu.bitcast(d2, jnp.int32) & lkeep
             ) | lane_ts
 
             # The extraction merge runs over MC-lane sub-chunks of the tile
@@ -254,7 +262,7 @@ def _knn_kernel(
                 km = tile_key_ref[:, pl.ds(off, mc)]
                 ke = jnp.where(km > key_prev, km, jnp.int32(0x7FFFFFFF))
                 kmin = jnp.min(ke, axis=1, keepdims=True)  # (QB, 1)
-                pos = kmin & 1023
+                pos = kmin & lmask
                 # exact f32 distance of the selected winner (keys are unique
                 # per lane, so the equality match is the winner lane alone;
                 # an exhausted row matches every excluded lane -> guard it)
@@ -268,7 +276,7 @@ def _knn_kernel(
                 m = jnp.where(kmin == jnp.int32(0x7FFFFFFF), jnp.inf, m)
                 # truncated lower bound: every later candidate's true
                 # distance is >= this (keys ascend => truncations ascend)
-                m_lb = pltpu.bitcast(kmin & jnp.int32(~1023), jnp.float32)
+                m_lb = pltpu.bitcast(kmin & lkeep, jnp.float32)
                 m_lb = jnp.where(kmin == jnp.int32(0x7FFFFFFF), jnp.inf, m_lb)
                 th = jnp.sum(
                     jnp.where(lane_kb == k - 1, best_d_ref[:], 0.0),
@@ -598,9 +606,10 @@ def _knn_pallas_sorted(
     support (B, N_pad, 3) with N_pad % ts == 0; query (B, M_pad, 3) with
     M_pad % qb == 0. ``mc`` is the extraction-merge sub-chunk width
     (default ``_MERGE_CHUNK``, clamped to ts; must divide ts)."""
-    assert ts <= 1024, (
-        f"support tile {ts} > 1024: the packed merge keys carry the lane "
-        "index in the low 10 bits"
+    assert ts <= 2048, (
+        f"support tile {ts} > 2048: the packed merge keys' lane field "
+        "(11 bits at ts=2048) would degrade the distance truncation "
+        "beyond what we have validated"
     )
     if mc is None:
         mc = _MERGE_CHUNK
