@@ -70,6 +70,18 @@ class TestCompiledKernels:
             np.testing.assert_allclose(
                 np.sort(np.asarray(d2), -1), np.sort(ref_d2, -1), atol=1e-5
             )
+        # wide tile (11-bit lane field) + sub-chunked merge
+        for mc in (2048, 256):
+            idx, d2 = knn_pallas(
+                s, s, 32, interpret=False, support_tile=2048, merge_chunk=mc
+            )
+            pts = np.asarray(s)[0][np.asarray(idx)[0]]
+            check = np.sum((pts - np.asarray(s)[0][:, None, :]) ** 2, -1)
+            np.testing.assert_allclose(check, np.asarray(d2)[0], atol=1e-5)
+            _, ref_d2 = _oracle(s, s, 32)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(d2), -1), np.sort(ref_d2, -1), atol=1e-5
+            )
 
     def test_knn_pallas_hbm_variant(self):
         """Support past the VMEM limit exercises the HBM tile-DMA path."""
