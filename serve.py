@@ -1,0 +1,108 @@
+"""Batch-serving CLI: segment every cloud of a dataset directory.
+
+The interactive surfaces (main.py live loop, predict.py visualizer) serve
+one frame at a time; this entry point is the offline/production path —
+load a trained model once, stream every cloud of a capture directory
+through the device in batches, and write per-cloud outputs next to a
+throughput summary (one JSON line on stdout, bench.py-style).
+
+Clouds are batched per distinct point count so each batch reuses one
+compiled program (the facade buckets/pads internally; eval-mode batches
+past 128k total points run per cloud on device — models/facade.py). The
+default output is the class-1 foreground mask (`<ts>_prediction.npy`,
+bool, device-side threshold — 32× less D2H than confidences);
+``--confidences`` writes the full (C, N) float confidences instead.
+
+Usage:
+    python serve.py -m models/<ts> -d data/captures -o out/ [--batch 8]
+        [--threshold 0.5] [--confidences]
+"""
+
+import argparse
+import json
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def iter_batches(root: Path, batch_size: int):
+    """Yield (stems, stacked clouds (B, N, 3) f32) grouped by point count
+    so each batch reuses one compiled program. Shapes are read via mmap
+    first; cloud data loads lazily per batch."""
+    groups = defaultdict(list)
+    for f in sorted(Path(root).glob("*_data.npy")):
+        n = np.load(f, mmap_mode="r").shape[0]
+        groups[n].append(f)
+    for _n, files in sorted(groups.items()):
+        for lo in range(0, len(files), batch_size):
+            chunk = files[lo : lo + batch_size]
+            yield (
+                [f.name[: -len("_data.npy")] for f in chunk],
+                np.stack([np.load(f).astype(np.float32) for f in chunk]),
+            )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("-m", "--model", type=Path, required=True)
+    ap.add_argument(
+        "-d", "--dataset", type=Path, required=True,
+        help="capture directory (<ts>_data.npy files)",
+    )
+    ap.add_argument("-o", "--out", type=Path, required=True)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--confidences", action="store_true",
+        help="write (C, N) float confidences instead of the bool mask",
+    )
+    args = ap.parse_args(argv)
+
+    from recognizer3d_tpu.models.facade import Model
+
+    model = Model.load(args.model)
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    n_clouds = 0
+    # warmup/compile pass is excluded from the throughput figure: serve
+    # jobs amortise compilation across the whole directory
+    first = next(iter_batches(args.dataset, 1), None)
+    if first is None:
+        print(json.dumps({"clouds": 0, "seconds": 0.0}))
+        return 0
+    if args.confidences:
+        model.predict(first[1])
+    else:
+        model.predict_mask(first[1], args.threshold)
+
+    t0 = time.perf_counter()
+    for stamps, clouds in iter_batches(args.dataset, args.batch):
+        if args.confidences:
+            out = model.predict(clouds)  # (B, C, N)
+            suffix = "_confidences.npy"
+        else:
+            out = model.predict_mask(clouds, args.threshold)  # (B, N) bool
+            suffix = "_prediction.npy"
+        for stem, row in zip(stamps, out):
+            np.save(args.out / f"{stem}{suffix}", row)
+        n_clouds += len(stamps)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "clouds": n_clouds,
+                "seconds": round(dt, 3),
+                "clouds_per_sec": round(n_clouds / dt, 3) if dt else None,
+                "batch": args.batch,
+                "output": "confidences" if args.confidences else "mask",
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
