@@ -1,0 +1,116 @@
+"""Data-parallel batch serving: shard the frame batch over a device mesh.
+
+Eval-mode inference is embarrassingly parallel across frames (BatchNorm
+reads running statistics — reference modules.py:87 semantics), so serving
+scales by placing B/n clouds on each of n chips and running the SAME fused
+predict program per shard; no collectives cross the wire. ``shard_map``
+(not GSPMD auto-sharding) keeps the facade's per-cloud ``lax.map``
+streaming (models/facade.py, big-cloud regime) LOCAL to each device's
+shard — under auto-sharding that loop would serialise over the *global*
+batch with one device active at a time.
+
+The reference has no serving path at all (single-frame predict only,
+model.py:146-235); this is the scale-out layer behind ``serve.py
+--devices N``.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from recognizer3d_tpu.parallel.mesh import data_parallel_mesh
+
+
+class DPServing:
+    """Batch ``predict`` / ``predict_mask`` over a data-parallel mesh.
+
+    Mirrors :meth:`Model.predict` / :meth:`Model.predict_mask` — same host
+    prep (cached consistent-sample indices, per-call permutation draw,
+    bucket padding) and the same fused device program per shard — with the
+    batch axis sharded over the mesh. Batches that don't divide the mesh
+    are padded by repeating the last cloud; padding rows are dropped from
+    the output.
+
+    Weights are replicated onto the mesh once at construction; a model
+    whose ``variables`` change afterwards needs a fresh ``DPServing``.
+    """
+
+    def __init__(self, model, n_devices: int = -1):
+        self._model = model
+        self.mesh = data_parallel_mesh(n_devices)
+        self._variables = jax.device_put(
+            model.variables, NamedSharding(self.mesh, P())
+        )
+
+        def _mask_local(variables, inputs, sample_idx, permutation, thr):
+            conf = model._predict_full_fn(
+                variables, inputs, sample_idx, permutation
+            )
+            return conf[:, 1, :] > thr
+
+        batch_spec = P("data", None, None)
+        self._mask_sharded = jax.jit(
+            shard_map(
+                _mask_local,
+                mesh=self.mesh,
+                in_specs=(P(), batch_spec, P(), P(), P()),
+                out_specs=P("data", None),
+                check_vma=False,
+            )
+        )
+        self._full_sharded = jax.jit(
+            shard_map(
+                model._predict_full_fn,
+                mesh=self.mesh,
+                in_specs=(P(), batch_spec, P(), P()),
+                out_specs=P("data", None, None),
+                check_vma=False,
+            )
+        )
+
+    @property
+    def n_devices(self) -> int:
+        return int(self.mesh.devices.size)
+
+    def _prepare(self, xyz: np.ndarray):
+        inputs = np.asarray(xyz, dtype=np.float32)
+        assert inputs.ndim == 3 and inputs.shape[-1] == 3, (
+            "DPServing expects a batch (B, N, 3) of clouds"
+        )
+        b = inputs.shape[0]
+        pad_b = (-b) % self.n_devices
+        if pad_b:
+            inputs = np.concatenate(
+                (inputs, np.repeat(inputs[-1:], pad_b, axis=0)), axis=0
+            )
+        padded, sample_idx, permutation, n_full = self._model._prepare_full(
+            inputs
+        )
+        sharded = jax.device_put(
+            padded, NamedSharding(self.mesh, P("data", None, None))
+        )
+        return sharded, sample_idx, permutation, n_full, b
+
+    def predict_mask(
+        self, xyz: np.ndarray, threshold: float = 0.5
+    ) -> np.ndarray:
+        """(B, N) bool foreground masks, class-1 confidence > threshold."""
+        sharded, sample_idx, permutation, n_full, b = self._prepare(xyz)
+        out = self._mask_sharded(
+            self._variables, sharded, sample_idx, permutation,
+            np.float32(threshold),
+        )
+        return np.asarray(out)[:b, :n_full]
+
+    def predict(self, xyz: np.ndarray) -> np.ndarray:
+        """(B, C, N) per-class confidences."""
+        sharded, sample_idx, permutation, n_full, b = self._prepare(xyz)
+        out = self._full_sharded(
+            self._variables, sharded, sample_idx, permutation
+        )
+        return np.asarray(out)[:b, :, :n_full]

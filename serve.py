@@ -13,9 +13,13 @@ default output is the class-1 foreground mask (`<ts>_prediction.npy`,
 bool, device-side threshold — 32× less D2H than confidences);
 ``--confidences`` writes the full (C, N) float confidences instead.
 
+``--devices N`` shards each batch over an N-chip data-parallel mesh
+(parallel/serving.py): eval frames are independent, so serving scales
+linearly with no cross-chip traffic.
+
 Usage:
     python serve.py -m models/<ts> -d data/captures -o out/ [--batch 8]
-        [--threshold 0.5] [--confidences]
+        [--threshold 0.5] [--confidences] [--devices N]
 """
 
 import argparse
@@ -59,33 +63,43 @@ def main(argv=None):
         "--confidences", action="store_true",
         help="write (C, N) float confidences instead of the bool mask",
     )
+    ap.add_argument(
+        "--devices", type=int, default=1,
+        help="shard each batch over this many devices (-1 = all); "
+        "1 serves single-device",
+    )
     args = ap.parse_args(argv)
 
     from recognizer3d_tpu.models.facade import Model
 
     model = Model.load(args.model)
+    if args.devices != 1:
+        from recognizer3d_tpu.parallel.serving import DPServing
+
+        model = DPServing(model, args.devices)
     args.out.mkdir(parents=True, exist_ok=True)
 
+    def predict_once(clouds):
+        if args.confidences:
+            return model.predict(clouds), "_confidences.npy"
+        return model.predict_mask(clouds, args.threshold), "_prediction.npy"
+
     n_clouds = 0
-    # warmup/compile pass is excluded from the throughput figure: serve
-    # jobs amortise compilation across the whole directory
-    first = next(iter_batches(args.dataset, 1), None)
-    if first is None:
+    # warm one batch per distinct batch shape so the throughput figure
+    # measures steady-state serving, not compilation (serve jobs amortise
+    # compiles across the directory; remote TPU compiles cost minutes)
+    seen_shapes = set()
+    for _stamps, clouds in iter_batches(args.dataset, args.batch):
+        if clouds.shape not in seen_shapes:
+            seen_shapes.add(clouds.shape)
+            predict_once(clouds)
+    if not seen_shapes:
         print(json.dumps({"clouds": 0, "seconds": 0.0}))
         return 0
-    if args.confidences:
-        model.predict(first[1])
-    else:
-        model.predict_mask(first[1], args.threshold)
 
     t0 = time.perf_counter()
     for stamps, clouds in iter_batches(args.dataset, args.batch):
-        if args.confidences:
-            out = model.predict(clouds)  # (B, C, N)
-            suffix = "_confidences.npy"
-        else:
-            out = model.predict_mask(clouds, args.threshold)  # (B, N) bool
-            suffix = "_prediction.npy"
+        out, suffix = predict_once(clouds)
         for stem, row in zip(stamps, out):
             np.save(args.out / f"{stem}{suffix}", row)
         n_clouds += len(stamps)
@@ -97,6 +111,7 @@ def main(argv=None):
                 "seconds": round(dt, 3),
                 "clouds_per_sec": round(n_clouds / dt, 3) if dt else None,
                 "batch": args.batch,
+                "devices": args.devices,
                 "output": "confidences" if args.confidences else "mask",
             }
         )

@@ -60,6 +60,70 @@ def test_serve_masks_and_confidences(tmp_path):
     np.testing.assert_allclose(c.sum(axis=0), 1.0, atol=1e-3)
 
 
+def test_dp_serving_matches_single_device():
+    """DPServing over 4 virtual devices == single-device predict (the
+    per-call permutation is drawn from global numpy RNG — pin it)."""
+    from recognizer3d_tpu.models.facade import Model
+    from recognizer3d_tpu.models.settings import RandLANetSettings
+    from recognizer3d_tpu.parallel.serving import DPServing
+
+    settings = RandLANetSettings(
+        n_classes=2, n_points=256, n_features=0, n_neighbors=4,
+        decimation=2, layer_sizes=[4, 8, 16, 32], knn="naive",
+    )
+    model = Model(settings, seed=0)
+    serving = DPServing(model, n_devices=4)
+    rng = np.random.RandomState(1)
+    clouds = rng.rand(4, 4096, 3).astype(np.float32)
+
+    np.random.seed(0)
+    conf_single = model.predict(clouds)
+    np.random.seed(0)
+    conf_dp = serving.predict(clouds)
+    np.testing.assert_allclose(conf_dp, conf_single, atol=1e-5)
+
+    np.random.seed(0)
+    mask_single = model.predict_mask(clouds, 0.5)
+    np.random.seed(0)
+    mask_dp = serving.predict_mask(clouds, 0.5)
+    assert mask_dp.shape == mask_single.shape
+    # masks threshold a continuous confidence: allow boundary-point flips
+    assert (mask_dp != mask_single).mean() < 1e-3
+
+    # ragged batch: B=3 over 4 devices pads internally, output stays B=3
+    np.random.seed(0)
+    conf3 = serving.predict(clouds[:3])
+    assert conf3.shape == (3, 2, 4096)
+    np.testing.assert_allclose(conf3, conf_dp[:3], atol=1e-5)
+
+
+def test_serve_cli_devices_flag(tmp_path):
+    import serve
+    from recognizer3d_tpu.models.facade import Model
+    from recognizer3d_tpu.models.settings import RandLANetSettings
+
+    captures = tmp_path / "captures"
+    captures.mkdir()
+    _make_captures(captures, [4096, 4096, 4096])
+    settings = RandLANetSettings(
+        n_classes=2, n_points=256, n_features=0, n_neighbors=4,
+        decimation=2, layer_sizes=[4, 8, 16, 32], knn="naive",
+    )
+    model_dir = tmp_path / "model"
+    Model(settings, seed=0).save(model_dir)
+
+    out = tmp_path / "out_dp"
+    rc = serve.main(
+        ["-m", str(model_dir), "-d", str(captures), "-o", str(out),
+         "--batch", "2", "--devices", "2"]
+    )
+    assert rc == 0
+    masks = sorted(out.glob("*_prediction.npy"))
+    assert len(masks) == 3
+    for f in masks:
+        assert np.load(f).shape == (4096,)
+
+
 def test_serve_empty_dir(tmp_path, capsys):
     import serve
     from recognizer3d_tpu.models.facade import Model
