@@ -74,9 +74,13 @@ def main():
 
     t_host = _median(host_prep, iters=15)
 
-    # bare relay RTT: scalar readback of a resident value
-    resident_scalar = jnp.float32(1.0) + 1
-    t_rtt = _median(lambda: float(resident_scalar), iters=30)
+    # bare relay RTT: scalar readback of a resident value. jax caches the
+    # host copy after an array's first fetch, so each timed fetch must hit
+    # a FRESH device scalar (same pitfall as the conf/mask downloads below)
+    bump0 = jax.jit(lambda i: jnp.float32(1.0) + i)
+    fresh_scalars = [bump0(jnp.float32(i)) for i in range(34)]
+    it_scalar = iter(fresh_scalars)
+    t_rtt = _median(lambda: float(next(it_scalar)), iters=30, warmup=3)
     sum_scalar = jax.jit(lambda x: jnp.sum(x))
     small = jnp.zeros((8,), jnp.float32)
     t_rtt_dispatch = _median(lambda: float(sum_scalar(small)), iters=30)

@@ -46,6 +46,7 @@ from recognizer3d_tpu.models.large import (
 )
 from recognizer3d_tpu.models.randlanet import RandLANet
 from recognizer3d_tpu.models.settings import RandLANetSettings
+from recognizer3d_tpu.ops.knn import FAST_GATHER_MAX_ROWS
 from recognizer3d_tpu.ops.upsample import upsample as upsample_features
 
 _BUCKET = 4096  # minimum full-cloud padding granularity
@@ -55,7 +56,7 @@ _LARGE_FORWARD_MIN = LARGE_FORWARD_MIN_POINTS
 # batched eval forwards with more total points than this run per cloud
 # (lax.map): batched row gathers leave the fast-gather regime past ~128k
 # table rows (benchmarks/RESULTS.md "Batched row gathers")
-_BATCHED_PER_CLOUD_MIN = 131072
+_BATCHED_PER_CLOUD_MIN = FAST_GATHER_MAX_ROWS
 
 
 def _bucket(n: int) -> int:

@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from recognizer3d_tpu.models.settings import RandLANetSettings
 from recognizer3d_tpu.ops.knn import gather_neighbors, knn, knn_presorted
+from recognizer3d_tpu.ops.knn import FAST_GATHER_MAX_ROWS
 from recognizer3d_tpu.ops.knn_pallas import invert_permutation, morton_order
 
 
@@ -39,10 +40,10 @@ def _sort_rows(x: jax.Array, order: jax.Array) -> jax.Array:
     fast-gather regime (per-row cost grows with table size past ~128k
     rows; measured 6.7× at 4×64k — benchmarks/RESULTS.md)."""
     if order.ndim == 1:
-        if x.shape[0] > 1 and x.shape[0] * x.shape[1] > 131072:
+        if x.shape[0] > 1 and x.shape[0] * x.shape[1] > FAST_GATHER_MAX_ROWS:
             return jax.lax.map(lambda xb: jnp.take(xb, order, axis=0), x)
         return x[:, order]
-    if x.shape[0] > 1 and x.shape[0] * x.shape[1] > 131072:
+    if x.shape[0] > 1 and x.shape[0] * x.shape[1] > FAST_GATHER_MAX_ROWS:
         return jax.lax.map(
             lambda args: jnp.take(args[0], args[1], axis=0), (x, order)
         )

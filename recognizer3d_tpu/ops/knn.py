@@ -37,6 +37,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# TPU row gathers pay per ROW and stay at the hardware rate while the
+# gathered table fits the fast regime; past ~128k table rows the per-row
+# cost grows ~linearly with table size (DRAM page locality — measured in
+# benchmarks/RESULTS.md "Batched row gathers"). Shared by gather_neighbors,
+# models/randlanet._sort_rows and the facade's per-cloud batched forward.
+FAST_GATHER_MAX_ROWS = 131072
+
+
 
 def _pairwise_sq_dists(query: jax.Array, support: jax.Array) -> jax.Array:
     """(B, M, N) squared L2 distances via ||q||² + ||s||² − 2 q·sᵀ.
@@ -502,7 +510,7 @@ def gather_neighbors(features: jax.Array, neighbors: jax.Array) -> jax.Array:
     if B == 1:
         flat = neighbors[0].reshape(-1)
         table = features[0]
-    elif B * N <= 131072:
+    elif B * N <= FAST_GATHER_MAX_ROWS:
         offsets = (jnp.arange(B, dtype=neighbors.dtype) * N)[:, None]
         flat = (neighbors.reshape(B, M * K) + offsets).reshape(-1)
         table = features.reshape(B * N, C)

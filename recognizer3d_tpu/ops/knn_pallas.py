@@ -614,6 +614,8 @@ def _knn_pallas_sorted(
     if mc is None:
         mc = _MERGE_CHUNK
     mc = min(mc, ts)
+    mc = max(128, mc - mc % 128)  # lane-width multiple (or the loop below
+    # never lands on a divisor and spins forever for e.g. mc=1000, ts=1024)
     while ts % mc:  # largest 128-multiple divisor of ts not above mc
         mc -= 128   # (ts is always a 128-multiple, so mc=128 terminates)
     assert ts % mc == 0 and mc % 128 == 0, (

@@ -20,8 +20,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.8
     from jax import shard_map
+
+    _NO_CHECK = {"check_vma": False}
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
+
+    _NO_CHECK = {"check_rep": False}  # pre-0.8 name of the same knob
 
 from recognizer3d_tpu.parallel.mesh import data_parallel_mesh
 
@@ -60,7 +64,7 @@ class DPServing:
                 mesh=self.mesh,
                 in_specs=(P(), batch_spec, P(), P(), P()),
                 out_specs=P("data", None),
-                check_vma=False,
+                **_NO_CHECK,
             )
         )
         self._full_sharded = jax.jit(
@@ -69,7 +73,7 @@ class DPServing:
                 mesh=self.mesh,
                 in_specs=(P(), batch_spec, P(), P()),
                 out_specs=P("data", None, None),
-                check_vma=False,
+                **_NO_CHECK,
             )
         )
 

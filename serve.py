@@ -32,6 +32,21 @@ from pathlib import Path
 import numpy as np
 
 
+def distinct_batch_shapes(root: Path, batch_size: int):
+    """The set of (B, N) batch shapes :func:`iter_batches` will yield,
+    computed from the mmap'd shape scan alone (no cloud data loaded)."""
+    groups = defaultdict(int)
+    for f in sorted(Path(root).glob("*_data.npy")):
+        groups[np.load(f, mmap_mode="r").shape[0]] += 1
+    shapes = set()
+    for n, count in groups.items():
+        if count >= batch_size:
+            shapes.add((batch_size, n))
+        if count % batch_size:
+            shapes.add((count % batch_size, n))
+    return shapes
+
+
 def iter_batches(root: Path, batch_size: int):
     """Yield (stems, stacked clouds (B, N, 3) f32) grouped by point count
     so each batch reuses one compiled program. Shapes are read via mmap
@@ -85,17 +100,17 @@ def main(argv=None):
         return model.predict_mask(clouds, args.threshold), "_prediction.npy"
 
     n_clouds = 0
-    # warm one batch per distinct batch shape so the throughput figure
-    # measures steady-state serving, not compilation (serve jobs amortise
-    # compiles across the directory; remote TPU compiles cost minutes)
-    seen_shapes = set()
-    for _stamps, clouds in iter_batches(args.dataset, args.batch):
-        if clouds.shape not in seen_shapes:
-            seen_shapes.add(clouds.shape)
-            predict_once(clouds)
-    if not seen_shapes:
+    # warm one SYNTHETIC batch per distinct batch shape (compilation only
+    # depends on shapes) so the throughput figure measures steady-state
+    # serving, not compilation, and the warmup reads no cloud data from
+    # disk (remote TPU compiles cost minutes; serve jobs amortise them)
+    shapes = distinct_batch_shapes(args.dataset, args.batch)
+    if not shapes:
         print(json.dumps({"clouds": 0, "seconds": 0.0}))
         return 0
+    warm_rng = np.random.RandomState(0)
+    for b, n in sorted(shapes):
+        predict_once(warm_rng.rand(b, n, 3).astype(np.float32))
 
     t0 = time.perf_counter()
     for stamps, clouds in iter_batches(args.dataset, args.batch):

@@ -171,6 +171,15 @@ class TestKnnPallas:
         i, d = knn_pallas(s, s, 16, interpret=True, merge_chunk=mc)
         _assert_matches_oracle(i, d, s, s, 16)
 
+    @pytest.mark.parametrize("mc", [1000, 300, 130])
+    def test_merge_chunk_degrades_non_lane_multiples(self, mc):
+        """Chunk widths that aren't 128-multiples round down to a valid
+        divisor instead of spinning the trace-time degrade loop forever."""
+        rng = np.random.RandomState(7)
+        s = jnp.asarray(rng.rand(1, 1500, 3).astype(np.float32))
+        i, d = knn_pallas(s, s, 16, interpret=True, merge_chunk=mc)
+        _assert_matches_oracle(i, d, s, s, 16)
+
     def test_self_knn_includes_self(self):
         rng = np.random.RandomState(2)
         s = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
