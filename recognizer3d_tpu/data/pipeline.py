@@ -151,6 +151,9 @@ class DeviceDatasetCache:
                 )
             )(keys, sample_ids)
 
+        #: pure (key, (B,) sample_ids) -> (inputs, labels) — usable inside a
+        #: larger jitted program (the trainer's fused epoch scan)
+        self.sample_batch_fn = _sample_batch
         self._sample_batch_jit = jax.jit(_sample_batch)
 
     def sample_batch(

@@ -175,6 +175,59 @@ class Trainer:
                 )
         pipe_root = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
+        # with the device-resident pipeline the WHOLE epoch is one jitted
+        # program: lax.scan over the shuffled full batches, each step doing
+        # on-device batch assembly (subsample + augment) + forward + loss +
+        # backward + Adam + metrics. The host dispatches once per epoch and
+        # reads back only the per-step metric arrays. (The reference pays a
+        # host round-trip per step — SURVEY.md §3.2 "HOT: CPU preproc".)
+        epoch_scan = None
+        if device_cache is not None and mesh is None:
+            sample_batch_fn = device_cache.sample_batch_fn
+            n_pts_scan = device_cache.n_points
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def epoch_scan(params, batch_stats, opt_state, sample_ids,
+                           step_keys, lr):
+                def body(carry, xs):
+                    params, batch_stats, opt_state = carry
+                    ids, step_key = xs
+                    k_batch, k_perm, k_drop = jax.random.split(step_key, 3)
+                    inputs, labels = sample_batch_fn(k_batch, ids)
+                    permutation = jax.random.permutation(
+                        k_perm, n_pts_scan
+                    ).astype(jnp.int32)
+
+                    def loss_fn(p):
+                        logits, updates = module.apply(
+                            {"params": p, "batch_stats": batch_stats},
+                            inputs,
+                            permutation,
+                            train=True,
+                            rngs={"dropout": k_drop},
+                            mutable=["batch_stats"],
+                        )
+                        loss = criterion(logits, labels)
+                        return loss, (logits, updates["batch_stats"])
+
+                    (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params)
+                    updates, new_opt = tx.update(grads, opt_state)
+                    new_params = optax.apply_updates(
+                        params, jax.tree.map(lambda u: -lr * u, updates)
+                    )
+                    return (
+                        (new_params, new_bs, new_opt),
+                        (loss,) + _metrics_arrays(logits, labels),
+                    )
+
+                (params, batch_stats, opt_state), metrics = jax.lax.scan(
+                    body, (params, batch_stats, opt_state),
+                    (sample_ids, step_keys),
+                )
+                return params, batch_stats, opt_state, metrics
+
         # checkpoint / resume (additive over the reference, SURVEY.md §5.4)
         ckpt_dir = None
         start_epoch = 1
@@ -212,7 +265,38 @@ class Trainer:
             )
             train_metrics = MetricCollector(self._class_names)
             pending = []
-            if device_cache is not None:
+            scanned = None
+            if epoch_scan is not None:
+                epoch_key = jax.random.fold_in(pipe_root, epoch)
+                k_shuf, k_steps = jax.random.split(epoch_key)
+                order = np.asarray(
+                    jax.random.permutation(k_shuf, device_cache.n_samples)
+                )
+                bs = settings.batch_size
+                n_steps = len(order) // bs
+                if n_steps:
+                    ids = jnp.asarray(
+                        order[: n_steps * bs].reshape(n_steps, bs)
+                    )
+                    step_keys = jax.random.split(
+                        jax.random.fold_in(k_steps, 0), n_steps
+                    )
+                    params, batch_stats, opt_state, scanned = epoch_scan(
+                        params, batch_stats, opt_state, ids, step_keys,
+                        jnp.float32(lr),
+                    )
+                    step_counter += n_steps
+                # the ragged remainder batch runs through the per-batch step
+                # (same coverage as the host loader's final partial batch)
+                batch_iter = []
+                if len(order) > n_steps * bs:
+                    rem_ids = jnp.asarray(order[n_steps * bs :])
+                    batch_iter = [
+                        device_cache.sample_batch(
+                            jax.random.fold_in(k_steps, 1), rem_ids
+                        )
+                    ]
+            elif device_cache is not None:
                 batch_iter = device_cache.epoch_batches(
                     jax.random.fold_in(pipe_root, epoch), settings.batch_size
                 )
@@ -240,6 +324,9 @@ class Trainer:
                 )
                 pending.append((loss, oa, pca, miou, pciou))
             # one host sync per epoch
+            if scanned is not None:
+                for row in zip(*jax.device_get(scanned)):
+                    train_metrics.push(*row)
             for loss, oa, pca, miou, pciou in jax.device_get(pending):
                 train_metrics.push(loss, oa, pca, miou, pciou)
 
@@ -369,7 +456,26 @@ class Trainer:
         postprocess: bool = False,
         n_evaluations: int = 10,
     ) -> MetricCollectorBag:
-        """Seeded repeated evaluation (trainer.py:271-367)."""
+        """Seeded repeated evaluation (trainer.py:271-367).
+
+        When the loader's data is seed-independent (consistent sampling, no
+        augmentation, no shuffle — the reference's validation configuration,
+        model.py:277-291) the whole sweep runs as ONE device program per
+        batch-shape group (``lax.map`` over batches × seeds) with a single
+        host readback, instead of n_seeds × n_batches synchronous dispatches.
+        Numerically identical to the per-batch path: the per-(seed, batch)
+        forward permutations are drawn from numpy in exactly the order the
+        reference's loop draws them (trainer.py:301-312).
+        """
+        fast = (
+            not postprocess
+            and getattr(data_loader.dataset, "_cacheable", False)
+            and not getattr(data_loader, "_shuffle", True)
+        )
+        if fast:
+            return Trainer._evaluate_fused(
+                model, data_loader, class_names, loss_function, n_evaluations
+            )
         criterion = get_loss(loss_function)
         module = model.module
 
@@ -397,11 +503,11 @@ class Trainer:
 
         seeds = [100 * i for i in range(n_evaluations)]
         rnd_state = np.random.get_state()
-        metric_collectors: List[MetricCollector] = []
         variables = model.variables
+        pending: List[List[tuple]] = []  # device tuples, one list per seed
         for seed in seeds:
             np.random.seed(seed)
-            evaluation_metrics = MetricCollector()
+            seed_pending = []
             for inputs, labels, indices in data_loader:
                 n_pts = inputs.shape[1]
                 permutation = np.random.permutation(n_pts).astype(np.int32)
@@ -423,9 +529,139 @@ class Trainer:
                     miou, pciou = iou_array(
                         confidences[0], jnp.asarray(raw_labels)
                     )
-                evaluation_metrics.push(
-                    *jax.device_get((loss, oa, pca, miou, pciou))
-                )
-            metric_collectors.append(evaluation_metrics)
+                seed_pending.append((loss, oa, pca, miou, pciou))
+            pending.append(seed_pending)
         np.random.set_state(rnd_state)
+        # one host sync for the whole sweep (dispatches above are async)
+        metric_collectors: List[MetricCollector] = []
+        for seed_pending in jax.device_get(pending):
+            evaluation_metrics = MetricCollector()
+            for batch_metrics in seed_pending:
+                evaluation_metrics.push(*batch_metrics)
+            metric_collectors.append(evaluation_metrics)
+        return MetricCollectorBag(metric_collectors, class_names)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _evaluate_fused(
+        model,
+        data_loader,
+        class_names: Optional[List[str]],
+        loss_function: str,
+        n_evaluations: int,
+    ) -> MetricCollectorBag:
+        """The seeded evaluation sweep as one device program per batch-shape
+        group: ``lax.map`` over stacked batches, inner ``lax.map`` over the
+        n_evaluations permutations, one ``device_get`` total.
+
+        Valid only when batch data is identical across seeds (checked by the
+        caller): consistent sampling seeds numpy to 0 and restores state
+        (preprocessing.py:23-31 in the reference), so the seeded outer RNG
+        only ever drives the per-forward permutations.
+        """
+        criterion = get_loss(loss_function)
+        module = model.module
+        variables = model.variables
+
+        cache = getattr(model, "_eval_step_cache", None)
+        if cache is None:
+            cache = {}
+            model._eval_step_cache = cache
+        key = ("fused", loss_function)
+        eval_sweep = cache.get(key)
+        if eval_sweep is None:
+
+            @jax.jit
+            def eval_sweep(variables, inputs, labels, perms):
+                def batch_fn(args):
+                    inp, lab, ps = args
+
+                    def seed_fn(p):
+                        logits = module.apply(variables, inp, p, train=False)
+                        loss = criterion(logits, lab)
+                        return (loss,) + _metrics_arrays(logits, lab)
+
+                    return jax.lax.map(seed_fn, ps)
+
+                return jax.lax.map(batch_fn, (inputs, labels, perms))
+
+            cache[key] = eval_sweep
+
+        # the sweep's inputs (batches, permutations) are call-invariant for a
+        # given loader — cache them ON DEVICE so the per-epoch validation in
+        # the training loop skips the host pass and the re-upload entirely
+        device_groups = getattr(data_loader, "_fused_eval_cache", {}).get(
+            n_evaluations
+        )
+        if device_groups is None:
+            # one host pass over the loader (the preprocessor caches
+            # consistent samples, so this is the only full read)
+            batches = [(inputs, labels) for inputs, labels, _ in data_loader]
+            n_batches = len(batches)
+            seeds = [100 * i for i in range(n_evaluations)]
+
+            # per-(seed, batch) permutations, drawn in exactly the order the
+            # per-batch loop draws them (trainer.py:301-312)
+            rnd_state = np.random.get_state()
+            perms = [[None] * n_evaluations for _ in range(n_batches)]
+            for si, seed in enumerate(seeds):
+                np.random.seed(seed)
+                for bi, (inputs, _) in enumerate(batches):
+                    perms[bi][si] = np.random.permutation(
+                        inputs.shape[1]
+                    ).astype(np.int32)
+            np.random.set_state(rnd_state)
+
+            # group batches by shape (a ragged final batch compiles apart)
+            groups: Dict[tuple, List[int]] = {}
+            for bi, (inputs, _) in enumerate(batches):
+                groups.setdefault(inputs.shape, []).append(bi)
+            device_groups = [
+                (
+                    batch_indices,
+                    jax.device_put(
+                        np.stack([batches[bi][0] for bi in batch_indices])
+                    ),
+                    jax.device_put(
+                        np.stack([batches[bi][1] for bi in batch_indices])
+                    ),
+                    jax.device_put(
+                        np.stack(
+                            [np.stack(perms[bi]) for bi in batch_indices]
+                        )
+                    ),
+                )
+                for batch_indices in groups.values()
+            ]
+            if not hasattr(data_loader, "_fused_eval_cache"):
+                data_loader._fused_eval_cache = {}
+            data_loader._fused_eval_cache[n_evaluations] = device_groups
+        n_batches = sum(len(g[0]) for g in device_groups)
+
+        results = []  # (batch_indices, device result tuple) per group
+        for batch_indices, inputs, labels, group_perms in device_groups:
+            results.append(
+                (
+                    batch_indices,
+                    eval_sweep(variables, inputs, labels, group_perms),
+                )
+            )
+
+        # one readback for the whole sweep, then reassemble in the per-seed,
+        # loader-order layout the MetricCollector protocol expects
+        per_batch: Dict[int, tuple] = {}
+        for batch_indices, result in results:
+            host = jax.device_get(result)  # each array (n_group, n_seeds, ...)
+            for gi, bi in enumerate(batch_indices):
+                per_batch[bi] = tuple(arr[gi] for arr in host)
+        metric_collectors = []
+        for si in range(n_evaluations):
+            evaluation_metrics = MetricCollector()
+            for bi in range(n_batches):
+                loss, oa, pca, miou, pciou = (
+                    arr[si] for arr in per_batch[bi]
+                )
+                evaluation_metrics.push(loss, oa, pca, miou, pciou)
+            metric_collectors.append(evaluation_metrics)
         return MetricCollectorBag(metric_collectors, class_names)

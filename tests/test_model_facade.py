@@ -251,6 +251,36 @@ class TestTrainEvaluate:
         )
         assert isinstance(with_std["mIoU"], tuple)
 
+    def test_evaluate_fused_matches_per_batch_path(self, tiny_dataset):
+        """The fused lax.map sweep (one dispatch per shape group) must
+        reproduce the per-(seed, batch) loop bit-for-bit: same batches (the
+        consistent-sampling contract) and the same permutation draws."""
+        from recognizer3d_tpu.data.loader import get_data_loader
+        from recognizer3d_tpu.training.trainer import Trainer
+
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        make_loader = lambda: get_data_loader(
+            tiny_dataset, model.settings.n_points, batch_size=4,
+            shuffle=False, consistent_sampling=True,
+        )
+        fused_loader = make_loader()
+        assert fused_loader.dataset._cacheable
+        fused = Trainer.evaluate(
+            model, fused_loader, ["bg", "fg"], n_evaluations=3
+        ).as_dict(include_stdev=True)
+
+        slow_loader = make_loader()
+        slow_loader.dataset._cacheable = False  # forces the per-batch loop
+        slow = Trainer.evaluate(
+            model, slow_loader, ["bg", "fg"], n_evaluations=3
+        ).as_dict(include_stdev=True)
+
+        assert fused.keys() == slow.keys()
+        for key in fused:
+            np.testing.assert_allclose(
+                fused[key], slow[key], rtol=1e-5, atol=1e-6, err_msg=key
+            )
+
     def test_evaluate_postprocess(self, tiny_dataset):
         model = Model(RandLANetSettings(**TINY), seed=0)
         metrics = model.evaluate(

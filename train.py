@@ -51,12 +51,18 @@ def app_model_config(compute_dtype: str = "float32") -> RandLANetSettings:
 
 
 def app_training_config() -> TrainingSettings:
-    """The hardcoded app training recipe (reference train.py:54-59)."""
+    """The hardcoded app training recipe (reference train.py:54-59).
+
+    ``device_pipeline`` is this framework's TPU-native execution mode: the
+    training set lives in HBM and every epoch runs as ONE device program
+    (on-device batch assembly + train steps under lax.scan) — same recipe
+    contract (epochs/batch/lr/loss/augmentation), no per-step host work."""
     return TrainingSettings(
         epochs=50,
         batch_size=4,
         learning_rate=1e-2,
         early_stopping=False,
+        device_pipeline=True,
     )
 
 
