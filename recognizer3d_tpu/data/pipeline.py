@@ -106,7 +106,11 @@ class DeviceDatasetCache:
         dataset: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         n_points: int,
         augmentation_settings: Optional[AugmentationSettings] = None,
+        mesh=None,
     ):
+        """:param mesh: optional ``jax.sharding.Mesh`` — the padded dataset
+        tables are replicated over it so batch assembly can run inside
+        SPMD programs (the data-parallel fused epoch scan)."""
         clouds, labels = [], []
         n_max = 0
         for i in range(len(dataset)):
@@ -125,9 +129,16 @@ class DeviceDatasetCache:
             xyz_pad[i, : len(c)] = c
             lab_pad[i, : len(l)] = l
             valid[i, : len(c)] = True
-        self._xyz = jax.device_put(xyz_pad)
-        self._labels = jax.device_put(lab_pad)
-        self._valid = jax.device_put(valid)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            put = lambda x: jax.device_put(x, replicated)
+        else:
+            put = jax.device_put
+        self._xyz = put(xyz_pad)
+        self._labels = put(lab_pad)
+        self._valid = put(valid)
 
         def _sample_one(key, xyz, labels, valid):
             k_sel, k_aug = jax.random.split(key)

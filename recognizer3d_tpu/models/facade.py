@@ -90,6 +90,9 @@ class Model:
         :param use_gpu: Kept for reference API parity; device placement is
                         JAX's (the default device — TPU when present).
         """
+        from recognizer3d_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.settings = settings
         self._module = RandLANet(settings)
         self._use_gpu = use_gpu

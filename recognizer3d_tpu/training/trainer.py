@@ -25,6 +25,7 @@ all-reduce via XLA collectives — see recognizer3d_tpu/parallel).
 """
 
 import logging
+import time
 from collections import OrderedDict
 from functools import partial
 from pathlib import Path
@@ -86,6 +87,9 @@ class Trainer:
     ):
         """Train the given facade Model in place; returns it with the best
         (val_mIoU) weights loaded (trainer.py:62-168)."""
+        from recognizer3d_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         module = model.module
         criterion = get_loss(settings.loss_function)
         variables = model.variables
@@ -163,10 +167,16 @@ class Trainer:
             if sample0[1].shape[1] == 0:  # xyz-only datasets
                 from recognizer3d_tpu.data.pipeline import DeviceDatasetCache
 
+                t_cache = time.monotonic()
                 device_cache = DeviceDatasetCache(
                     preproc._dataset,
                     preproc._n_sample_points,
                     augmentation_settings=preproc._augmentation_settings,
+                    mesh=mesh,
+                )
+                logger.info(
+                    "device pipeline: dataset resident in HBM in "
+                    f"{time.monotonic() - t_cache:.1f}s"
                 )
             else:
                 logger.warning(
@@ -181,52 +191,75 @@ class Trainer:
         # backward + Adam + metrics. The host dispatches once per epoch and
         # reads back only the per-step metric arrays. (The reference pays a
         # host round-trip per step — SURVEY.md §3.2 "HOT: CPU preproc".)
+        #
+        # Under a data-parallel mesh the same scan runs SPMD: each step's
+        # sample ids arrive sharded over the "data" axis (the dataset tables
+        # are replicated — pipeline.py), so batch assembly, forward, backward
+        # and the gradient/BN psums all stay inside the one program; the
+        # mesh only requires batch_size % n_devices == 0.
         epoch_scan = None
-        if device_cache is not None and mesh is None:
-            sample_batch_fn = device_cache.sample_batch_fn
-            n_pts_scan = device_cache.n_points
-
-            @partial(jax.jit, donate_argnums=(0, 1, 2))
-            def epoch_scan(params, batch_stats, opt_state, sample_ids,
-                           step_keys, lr):
-                def body(carry, xs):
-                    params, batch_stats, opt_state = carry
-                    ids, step_key = xs
-                    k_batch, k_perm, k_drop = jax.random.split(step_key, 3)
-                    inputs, labels = sample_batch_fn(k_batch, ids)
-                    permutation = jax.random.permutation(
-                        k_perm, n_pts_scan
-                    ).astype(jnp.int32)
-
-                    def loss_fn(p):
-                        logits, updates = module.apply(
-                            {"params": p, "batch_stats": batch_stats},
-                            inputs,
-                            permutation,
-                            train=True,
-                            rngs={"dropout": k_drop},
-                            mutable=["batch_stats"],
-                        )
-                        loss = criterion(logits, labels)
-                        return loss, (logits, updates["batch_stats"])
-
-                    (loss, (logits, new_bs)), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True
-                    )(params)
-                    updates, new_opt = tx.update(grads, opt_state)
-                    new_params = optax.apply_updates(
-                        params, jax.tree.map(lambda u: -lr * u, updates)
-                    )
-                    return (
-                        (new_params, new_bs, new_opt),
-                        (loss,) + _metrics_arrays(logits, labels),
-                    )
-
-                (params, batch_stats, opt_state), metrics = jax.lax.scan(
-                    body, (params, batch_stats, opt_state),
-                    (sample_ids, step_keys),
+        shard_ids = jnp.asarray
+        if device_cache is not None:
+            if mesh is not None and settings.batch_size % mesh.size != 0:
+                logger.warning(
+                    "device_pipeline epoch fusion needs batch_size divisible "
+                    f"by the mesh ({settings.batch_size} % {mesh.size}); "
+                    "falling back to per-step dispatch."
                 )
-                return params, batch_stats, opt_state, metrics
+            else:
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    ids_sharding = NamedSharding(
+                        mesh, PartitionSpec(None, "data")
+                    )
+                    shard_ids = lambda ids: jax.device_put(ids, ids_sharding)
+                sample_batch_fn = device_cache.sample_batch_fn
+                n_pts_scan = device_cache.n_points
+
+                @partial(jax.jit, donate_argnums=(0, 1, 2))
+                def epoch_scan(params, batch_stats, opt_state, sample_ids,
+                               step_keys, lr):
+                    def body(carry, xs):
+                        params, batch_stats, opt_state = carry
+                        ids, step_key = xs
+                        k_batch, k_perm, k_drop = jax.random.split(
+                            step_key, 3
+                        )
+                        inputs, labels = sample_batch_fn(k_batch, ids)
+                        permutation = jax.random.permutation(
+                            k_perm, n_pts_scan
+                        ).astype(jnp.int32)
+
+                        def loss_fn(p):
+                            logits, updates = module.apply(
+                                {"params": p, "batch_stats": batch_stats},
+                                inputs,
+                                permutation,
+                                train=True,
+                                rngs={"dropout": k_drop},
+                                mutable=["batch_stats"],
+                            )
+                            loss = criterion(logits, labels)
+                            return loss, (logits, updates["batch_stats"])
+
+                        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                            loss_fn, has_aux=True
+                        )(params)
+                        updates, new_opt = tx.update(grads, opt_state)
+                        new_params = optax.apply_updates(
+                            params, jax.tree.map(lambda u: -lr * u, updates)
+                        )
+                        return (
+                            (new_params, new_bs, new_opt),
+                            (loss,) + _metrics_arrays(logits, labels),
+                        )
+
+                    (params, batch_stats, opt_state), metrics = jax.lax.scan(
+                        body, (params, batch_stats, opt_state),
+                        (sample_ids, step_keys),
+                    )
+                    return params, batch_stats, opt_state, metrics
 
         # checkpoint / resume (additive over the reference, SURVEY.md §5.4)
         ckpt_dir = None
@@ -259,6 +292,7 @@ class Trainer:
                     )
 
         for epoch in range(start_epoch, settings.epochs + 1):
+            t_epoch = time.monotonic()
             # StepLR: lr0 · decay^((epoch−1)//10) — trainer.py:81-83
             lr = settings.learning_rate * (
                 settings.learning_rate_decay ** ((epoch - 1) // 10)
@@ -275,7 +309,7 @@ class Trainer:
                 bs = settings.batch_size
                 n_steps = len(order) // bs
                 if n_steps:
-                    ids = jnp.asarray(
+                    ids = shard_ids(
                         order[: n_steps * bs].reshape(n_steps, bs)
                     )
                     step_keys = jax.random.split(
@@ -330,6 +364,7 @@ class Trainer:
             for loss, oa, pca, miou, pciou in jax.device_get(pending):
                 train_metrics.push(loss, oa, pca, miou, pciou)
 
+            t_train = time.monotonic()
             # evaluate on validation set (10 seeded runs, trainer.py:135-140)
             model.variables = {"params": params, "batch_stats": batch_stats}
             validation_metrics = Trainer.evaluate(
@@ -337,6 +372,13 @@ class Trainer:
                 self._validation_dataloader,
                 class_names=self._class_names,
                 loss_function=settings.loss_function,
+            )
+            t_done = time.monotonic()
+            # first-epoch numbers ≈ compile / persistent-cache load cost;
+            # later epochs are the steady-state recipe speed
+            logger.info(
+                f"epoch {epoch} timing: train {t_train - t_epoch:.1f}s, "
+                f"validate {t_done - t_train:.1f}s"
             )
             metrics = train_metrics.as_dict()
             metrics.update(validation_metrics.as_dict("val"))

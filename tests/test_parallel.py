@@ -305,3 +305,83 @@ class TestPointShardedModel:
         perm = jnp.asarray(rng.permutation(80).astype(np.int32))
         with pytest.raises(ValueError, match="divisible"):
             module.init(jax.random.PRNGKey(0), inputs, perm)
+
+
+class TestDataParallelEpochFusion:
+    """The fused epoch scan under a data-parallel mesh must reproduce the
+    single-device scan (same seeds -> same batches/permutations/dropout;
+    GSPMD only changes where the arithmetic runs)."""
+
+    def _train_losses(self, tmp_path, n_devices):
+        from datetime import datetime
+
+        from recognizer3d_tpu import (
+            AugmentationSettings,
+            Dataset,
+            Model,
+            RandLANetSettings,
+            TrainingSettings,
+        )
+
+        # 3 clouds -> split(0.8) = 2 train / 1 val: with batch_size=2 the
+        # epoch is exactly ONE update step, so param differences can come
+        # only from reduction reassociation (+ Adam sign-flips where g~0),
+        # not from a chaotic multi-step cascade
+        ds = Dataset(tmp_path / f"ds{n_devices}")
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            ts = datetime(2026, 1, 1, 11, 0, i)
+            cloud = rng.randn(150 + 17 * i, 3).astype(np.float32) * 0.1
+            ds[ts] = cloud
+            ann = np.zeros(cloud.shape[0], dtype=np.uint8)
+            ann[rng.choice(cloud.shape[0], 5, replace=False)] = 1
+            ds.set_annotation(ts, ann)
+        train_ds, val_ds = ds.split()
+
+        tiny = dict(
+            n_classes=2, n_points=64, n_neighbors=4, decimation=2,
+            layer_sizes=[4, 8, 16, 32], knn="naive",
+        )
+        model = Model(RandLANetSettings(**tiny), seed=0)
+        seen = []
+        np.random.seed(123)  # pins pipe_root/dropout_root across runs
+        model.train(
+            train_ds,
+            val_ds,
+            TrainingSettings(
+                epochs=1, batch_size=2, early_stopping=False,
+                device_pipeline=True, data_parallel_devices=n_devices,
+            ),
+            AugmentationSettings(),
+            class_names=["bg", "fg"],
+            callbacks=[lambda e, m: seen.append(m)],
+        )
+        return seen, model.variables["params"]
+
+    def test_dp_epoch_scan_matches_single_device(self, eight_devices, tmp_path):
+        """Same seeds -> same batches/permutations/dropout, so the sharded
+        scan must track the single-device one: identical step losses (drawn
+        pre-update) and near-identical trained parameters (GSPMD only
+        reassociates the reductions; discrete metrics like val_mIoU are NOT
+        compared — on a 64-point val cloud a 1e-6 logit shift flips argmax
+        points)."""
+        (single_m, single_p) = self._train_losses(tmp_path, 1)
+        (dp_m, dp_p) = self._train_losses(tmp_path, 2)
+        assert len(single_m) == len(dp_m) == 1
+        # identical pre-update params + identical batch -> identical loss
+        np.testing.assert_allclose(
+            dp_m[0]["loss"], single_m[0]["loss"], rtol=1e-5, atol=1e-6
+        )
+        # params after the single Adam step: the bias-corrected first
+        # update is lr*sign(g) per element, so where g ~ 0 a reassociation-
+        # level perturbation flips the sign and moves that element by up to
+        # 2*lr — nearly all elements must agree tightly, none beyond the
+        # sign-flip envelope, and flips must be rare
+        diffs = np.concatenate([
+            np.abs(np.asarray(d) - np.asarray(s)).ravel()
+            for s, d in zip(jax.tree.leaves(single_p), jax.tree.leaves(dp_p))
+        ])
+        lr = 1e-2
+        assert np.quantile(diffs, 0.95) < 1e-4, np.quantile(diffs, 0.95)
+        assert diffs.max() < 2 * lr * 1.05, diffs.max()
+        assert (diffs > 1e-3).mean() < 0.02, (diffs > 1e-3).mean()

@@ -186,3 +186,35 @@ class TestProfilingUtils:
         assert t > 0
         ta = timeit_amortized(f, x, iters=3)
         assert ta > 0
+
+
+class TestCompileCache:
+    def test_enable_points_xla_at_directory(self, tmp_path, monkeypatch):
+        """enable_persistent_cache must create the directory, flip the jax
+        config, and actually persist compiled executables there."""
+        from recognizer3d_tpu.utils import compile_cache
+
+        monkeypatch.setattr(compile_cache, "_enabled", False)
+        prior = jax.config.jax_compilation_cache_dir
+        cache_dir = tmp_path / "xla_cache"
+        try:
+            assert compile_cache.enable_persistent_cache(cache_dir)
+            assert cache_dir.is_dir()
+            assert str(jax.config.jax_compilation_cache_dir) == str(cache_dir)
+
+            f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+            float(jnp.sum(f(jnp.ones((32, 16)))))
+            assert any(cache_dir.iterdir()), "no cache entry written"
+        finally:
+            from jax._src import compilation_cache as _cc
+
+            jax.config.update("jax_compilation_cache_dir", prior)
+            if _cc.is_initialized():
+                _cc.reset_cache()
+
+    def test_disabled_by_env(self, monkeypatch):
+        from recognizer3d_tpu.utils import compile_cache
+
+        monkeypatch.setattr(compile_cache, "_enabled", False)
+        monkeypatch.setenv("RECOGNIZER3D_COMPILE_CACHE", "0")
+        assert not compile_cache.enable_persistent_cache()
