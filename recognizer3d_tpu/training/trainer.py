@@ -321,15 +321,22 @@ class Trainer:
                     )
                     step_counter += n_steps
                 # the ragged remainder batch runs through the per-batch step
-                # (same coverage as the host loader's final partial batch)
+                # (same coverage as the host loader's final partial batch);
+                # under a DP mesh it could not shard — dropped (DDP-style)
                 batch_iter = []
-                if len(order) > n_steps * bs:
+                n_rem = len(order) - n_steps * bs
+                if n_rem and mesh is None:
                     rem_ids = jnp.asarray(order[n_steps * bs :])
                     batch_iter = [
                         device_cache.sample_batch(
                             jax.random.fold_in(k_steps, 1), rem_ids
                         )
                     ]
+                elif n_rem:
+                    logger.debug(
+                        f"dropping ragged remainder of {n_rem} samples "
+                        f"(mesh size {mesh.size})"
+                    )
             elif device_cache is not None:
                 batch_iter = device_cache.epoch_batches(
                     jax.random.fold_in(pipe_root, epoch), settings.batch_size
@@ -340,6 +347,15 @@ class Trainer:
                     for inputs, labels, _ in self._train_dataloader
                 )
             for inputs, labels in batch_iter:
+                if mesh is not None and inputs.shape[0] % mesh.size:
+                    # a ragged batch cannot shard over the DP mesh; drop it
+                    # (the DP convention — torch DDP's drop_last) rather
+                    # than recompile an unsharded step for one batch
+                    logger.debug(
+                        f"dropping ragged batch of {inputs.shape[0]} "
+                        f"(mesh size {mesh.size})"
+                    )
+                    continue
                 n_pts = inputs.shape[1]
                 permutation = np.random.permutation(n_pts).astype(np.int32)
                 dropout_key = jax.random.fold_in(dropout_root, step_counter)
