@@ -82,6 +82,7 @@ class Model:
         weights: Optional[Dict] = None,
         use_gpu: bool = True,
         seed: int = 0,
+        transfer_dtype: str = "float32",
     ):
         """
         :param settings: Model settings defining RandLANet.
@@ -89,10 +90,21 @@ class Model:
                         to initialize the model with.
         :param use_gpu: Kept for reference API parity; device placement is
                         JAX's (the default device — TPU when present).
+        :param transfer_dtype: dtype for the host→device upload of full
+            clouds in :meth:`predict` / :meth:`predict_mask`. "float16"
+            halves the upload bytes (the dominant wall cost per live frame —
+            benchmarks/RESULTS.md predict breakdown); coordinates are cast
+            back to float32 on device before any compute, so the only
+            effect is input quantization: f16 eps is 4.9e-4 relative
+            (~0.3 mm at the L515's 0.6 m range cap), below the sensor's
+            own 1-2 mm depth noise. Default keeps bit-exact reference
+            parity.
         """
         from recognizer3d_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
+        assert transfer_dtype in ("float32", "float16"), transfer_dtype
+        self._transfer_dtype = np.dtype(transfer_dtype)
         self.settings = settings
         self._module = RandLANet(settings)
         self._use_gpu = use_gpu
@@ -154,7 +166,9 @@ class Model:
             # ONE program for the whole predict: device-side consistent
             # subsample -> forward -> softmax -> full-cloud upsample. A single
             # dispatch + a single host->device transfer per frame (the live
-            # 250 ms loop's budget, reference main.py:49).
+            # 250 ms loop's budget, reference main.py:49). The upload may
+            # arrive float16 (transfer_dtype) — all compute stays float32.
+            inputs_full = inputs_full.astype(jnp.float32)
             sampled = jnp.take(inputs_full, sample_idx, axis=1)
             logits = self._module.apply(
                 variables, sampled, permutation, train=False
@@ -216,7 +230,12 @@ class Model:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def load(path: Path, use_gpu: bool = True, **kwargs) -> "Model":
+    def load(
+        path: Path,
+        use_gpu: bool = True,
+        transfer_dtype: str = "float32",
+        **kwargs,
+    ) -> "Model":
         """Load a model archive — ours (msgpack) or the reference's (torch).
 
         kwargs override settings fields after load (model.py:100-104).
@@ -235,7 +254,12 @@ class Model:
                     setattr(settings, key, value)
             blob = (tmp / "model").read_bytes()
         variables = Model._decode_weights(blob, settings)
-        return Model(settings, weights=variables, use_gpu=use_gpu)
+        return Model(
+            settings,
+            weights=variables,
+            use_gpu=use_gpu,
+            transfer_dtype=transfer_dtype,
+        )
 
     @staticmethod
     def _decode_weights(blob: bytes, settings: RandLANetSettings) -> Dict:
@@ -332,14 +356,17 @@ class Model:
             np.int32
         )
         n_padded = _bucket(n_full)
+        dtype = self._transfer_dtype
         if n_padded == n_full:
-            return inputs, indices, permutation, n_full
+            return (
+                inputs.astype(dtype, copy=False), indices, permutation, n_full
+            )
         buf_key = (inputs.shape[0], n_padded, inputs.shape[2])
         buf = getattr(self, "_pad_buffer", None)
-        if buf is None or buf.shape != buf_key:
-            buf = np.zeros(buf_key, np.float32)
+        if buf is None or buf.shape != buf_key or buf.dtype != dtype:
+            buf = np.zeros(buf_key, dtype)
             self._pad_buffer = buf
-        buf[:, :n_full] = inputs
+        buf[:, :n_full] = inputs  # casts to the transfer dtype on copy
         buf[:, n_full:] = 0.0
         return buf, indices, permutation, n_full
 

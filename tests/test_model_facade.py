@@ -97,6 +97,26 @@ class TestPredict:
         assert mask.shape == (500,) and mask.dtype == bool
         np.testing.assert_array_equal(mask, conf[1] > 0.5)
 
+    def test_transfer_dtype_float16_close_to_float32(self):
+        """The f16 upload path quantizes only the INPUT coordinates (device
+        compute stays f32); predictions must track the f32 path closely and
+        the thresholded masks should agree except near the boundary."""
+        settings = RandLANetSettings(**TINY)
+        f32 = Model(settings, seed=0)
+        f16 = Model(settings, seed=0, transfer_dtype="float16")
+        cloud = (
+            np.random.RandomState(2).randn(5000, 3).astype(np.float32) * 0.1
+        )
+        np.random.seed(7)
+        conf32 = f32.predict(cloud)
+        np.random.seed(7)
+        conf16 = f16.predict(cloud)
+        assert conf16.shape == conf32.shape
+        # inputs differ by ~5e-4 relative; confidences must stay close
+        assert np.mean(np.abs(conf16 - conf32)) < 5e-3
+        agree = np.mean((conf16[1] > 0.5) == (conf32[1] > 0.5))
+        assert agree > 0.99, agree
+
     def test_bucket_padding_does_not_change_results(self, tiny_model):
         # proportional buckets pad the full cloud with zeros; padded rows
         # are queries only and must not perturb the real points' output
