@@ -83,11 +83,17 @@ def main(argv=None):
         help="shard each batch over this many devices (-1 = all); "
         "1 serves single-device",
     )
+    ap.add_argument(
+        "--transfer-dtype", choices=("float32", "float16"),
+        default="float32",
+        help="upload dtype for full clouds; float16 halves H2D bytes "
+        "(input quantization below sensor noise)",
+    )
     args = ap.parse_args(argv)
 
     from recognizer3d_tpu.models.facade import Model
 
-    model = Model.load(args.model)
+    model = Model.load(args.model, transfer_dtype=args.transfer_dtype)
     if args.devices != 1:
         from recognizer3d_tpu.parallel.serving import DPServing
 
