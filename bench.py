@@ -166,6 +166,11 @@ def main():
     predict_mask_p50 = _median_time(
         lambda: model.predict_mask(cloud, 0.5), iters=10, warmup=3
     )
+    # float16 upload option: halves the dominant H2D cost per frame
+    model_f16 = Model(settings, seed=0, transfer_dtype="float16")
+    predict_mask_p50_f16 = _median_time(
+        lambda: model_f16.predict_mask(cloud, 0.5), iters=10, warmup=3
+    )
 
     # decompose the wall latency: host prep / H2D upload / bare relay RTT
     # (full decomposition in benchmarks/predict_breakdown.py)
@@ -330,6 +335,8 @@ def main():
         "forward_64k_ms_bfloat16": t64bf * 1000,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
         "predict_mask_p50_ms_appconfig": predict_mask_p50 * 1000,
+        "predict_mask_p50_ms_appconfig_f16_upload": predict_mask_p50_f16
+        * 1000,
         "predict_device_ms_appconfig": predict_device * 1000,
         "predict_host_prep_ms": host_prep_ms,
         "predict_upload_ms_incl_relay": upload_ms,
