@@ -469,6 +469,17 @@ def knn_presorted(
                 )
 
                 return argmin_pallas_presorted(support, query)
+            if _on_tpu() and support.shape[1] > 65536:
+                # past the streaming-argmin regime the Morton-pruned KNN
+                # kernel at k=1 wins by orders of magnitude: the brute
+                # scan is O(M·N) VPU work (262k support × 1M queries
+                # measured 82 s) while the kernel's tile bounds prune
+                # almost every visit (341 ms, exact — same d2)
+                from recognizer3d_tpu.ops.knn_pallas import (
+                    knn_pallas_presorted,
+                )
+
+                return knn_pallas_presorted(support, query, 1)
             return knn_argmin(support, query)
         if _on_tpu() and k <= 128:
             from recognizer3d_tpu.ops.knn_pallas import knn_pallas_presorted
