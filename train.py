@@ -13,20 +13,18 @@ The engine underneath is the TPU-native trainer
 step over the device mesh).
 """
 
+from __future__ import annotations
+
 import queue as queue_mod
 from datetime import datetime
 from multiprocessing import get_context
 from pathlib import Path
 from typing import List, Optional
 
-from recognizer3d_tpu import (
-    AugmentationSettings,
-    Dataset,
-    DatasetMerged,
-    Model,
-    RandLANetSettings,
-    TrainingSettings,
-)
+# The framework (and with it jax) is imported lazily inside the functions
+# that need it: the CLI parent process only launches/polls the spawned
+# worker, and keeping it import-light saves ~15 s of single-core startup
+# that would otherwise be paid twice (the spawn child re-imports anyway).
 
 CLASS_NAMES = ["background", "fingerpoint"]
 MODELS_DIR = Path("models")
@@ -39,6 +37,8 @@ def app_model_config(compute_dtype: str = "float32") -> RandLANetSettings:
     ``compute_dtype`` is this framework's additive mixed-precision knob
     (models/settings.py): "bfloat16" trains with a bf16 activation chain
     and float32 master weights."""
+    from recognizer3d_tpu import RandLANetSettings
+
     return RandLANetSettings(
         n_classes=2,
         n_features=0,
@@ -57,6 +57,8 @@ def app_training_config() -> TrainingSettings:
     training set lives in HBM and every epoch runs as ONE device program
     (on-device batch assembly + train steps under lax.scan) — same recipe
     contract (epochs/batch/lr/loss/augmentation), no per-step host work."""
+    from recognizer3d_tpu import TrainingSettings
+
     return TrainingSettings(
         epochs=50,
         batch_size=4,
@@ -113,17 +115,32 @@ class TrainingJob:
             self._process.join()
 
 
-def _start_tensorboard_server(logdir: Path) -> None:
+def _start_tensorboard_server(logdir: Path):
     """Serve ``logdir`` like the reference app does (train.py:82-85);
-    quietly skipped when tensorboard isn't available."""
-    try:
-        import tensorboard
+    quietly skipped when tensorboard isn't available.
 
-        server = tensorboard.program.TensorBoard()
-        server.configure(argv=[None, "--logdir", str(logdir)])
-        server.launch()
+    Runs as a ``nice``-d subprocess rather than the reference's in-process
+    thread: tensorboard's (TF) imports cost ~1-2 min of CPU that would
+    otherwise contend with the trainer's compile-cache loads on a
+    single-core host. Returns the Popen (or None) so the training worker
+    can terminate it on exit, matching the reference thread's lifetime.
+    """
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    if importlib.util.find_spec("tensorboard") is None:
+        return None
+    try:
+        return subprocess.Popen(
+            [sys.executable, "-m", "tensorboard", "--logdir", str(logdir)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            preexec_fn=lambda: os.nice(19),
+        )
     except Exception:
-        pass
+        return None
 
 
 def run_training(
@@ -132,6 +149,13 @@ def run_training(
     compute_dtype: str = "float32",
 ) -> Path:
     """The app training recipe; returns the saved model path."""
+    from recognizer3d_tpu import (
+        AugmentationSettings,
+        Dataset,
+        DatasetMerged,
+        Model,
+    )
+
     merged = DatasetMerged(
         [Dataset(d, broaden_annotations=True) for d in dataset_dirs]
     )
@@ -149,7 +173,7 @@ def run_training(
 
     run_name = Dataset.timestamp(datetime.now())
     log_dir = LOG_ROOT / run_name
-    _start_tensorboard_server(LOG_ROOT)
+    tb_server = _start_tensorboard_server(LOG_ROOT)
     print(f"\nStarting training and logging at {log_dir} ...")
     print(f"Training settings are: {training}")
     print(f"Augmentation settings are: {augmentation}\n")
@@ -158,21 +182,25 @@ def run_training(
         if progress_queue is not None:
             progress_queue.put(int(100 * epoch / training.epochs))
 
-    model = Model(app_model_config(compute_dtype), use_gpu=True)
-    model.train(
-        train_split,
-        val_split,
-        training,
-        augmentation,
-        log_dir,
-        CLASS_NAMES,
-        callbacks=[report_progress],
-    )
+    try:
+        model = Model(app_model_config(compute_dtype), use_gpu=True)
+        model.train(
+            train_split,
+            val_split,
+            training,
+            augmentation,
+            log_dir,
+            CLASS_NAMES,
+            callbacks=[report_progress],
+        )
 
-    model_path = MODELS_DIR / run_name
-    model.save(model_path)
-    print(f"\nModel saved to {model_path}")
-    return model_path
+        model_path = MODELS_DIR / run_name
+        model.save(model_path)
+        print(f"\nModel saved to {model_path}")
+        return model_path
+    finally:
+        if tb_server is not None:
+            tb_server.terminate()
 
 
 def _cli() -> None:
