@@ -112,3 +112,61 @@ class TestTrainingJobProgress:
         from train import TrainingJob
 
         TrainingJob(None, None).kill()
+
+
+class TestTensorboardServer:
+    """The TB server runs as a nice'd subprocess owned by the training
+    worker (train.py:_start_tensorboard_server) — launched only when
+    tensorboard is importable, terminated when training exits."""
+
+    def test_skipped_when_tensorboard_missing(self, monkeypatch, tmp_path):
+        import importlib.util
+
+        from train import _start_tensorboard_server
+
+        monkeypatch.setattr(
+            importlib.util, "find_spec", lambda name: None
+        )
+        assert _start_tensorboard_server(tmp_path) is None
+
+    def test_launches_subprocess_on_logdir(self, monkeypatch, tmp_path):
+        import importlib.util
+        import subprocess
+
+        from train import _start_tensorboard_server
+
+        monkeypatch.setattr(
+            importlib.util, "find_spec", lambda name: object()
+        )
+        calls = {}
+
+        class FakePopen:
+            def __init__(self, argv, **kwargs):
+                calls["argv"] = argv
+
+            def terminate(self):
+                calls["terminated"] = True
+
+        monkeypatch.setattr(subprocess, "Popen", FakePopen)
+        server = _start_tensorboard_server(tmp_path)
+        assert isinstance(server, FakePopen)
+        assert str(tmp_path) in calls["argv"]
+        assert "tensorboard" in " ".join(calls["argv"])
+        server.terminate()
+        assert calls["terminated"]
+
+    def test_popen_failure_is_swallowed(self, monkeypatch, tmp_path):
+        import importlib.util
+        import subprocess
+
+        from train import _start_tensorboard_server
+
+        monkeypatch.setattr(
+            importlib.util, "find_spec", lambda name: object()
+        )
+
+        def boom(*a, **k):
+            raise OSError("no exec")
+
+        monkeypatch.setattr(subprocess, "Popen", boom)
+        assert _start_tensorboard_server(tmp_path) is None
