@@ -175,10 +175,18 @@ class DeviceDatasetCache:
 
     def epoch_batches(self, key: jax.Array, batch_size: int):
         """Yield shuffled (inputs, labels) device batches covering the
-        dataset once (remainder batch included, like the host loader)."""
-        k_shuf, k_eps = jax.random.split(key)
-        order = np.asarray(jax.random.permutation(k_shuf, self.n_samples))
+        dataset once (remainder batch included, like the host loader).
+
+        The shuffle and per-batch key derivation run on the HOST (numpy
+        seeded from ``key``): on remote-TPU setups every tiny jax.random
+        dispatch pays a relay round-trip, and only ``sample_batch`` itself
+        is real device work. The uint32 pairs drawn here are valid threefry
+        keys for the jitted sampler."""
+        rng = np.random.RandomState(np.asarray(key, dtype=np.uint32))
+        order = rng.permutation(self.n_samples).astype(np.int32)
         for start in range(0, self.n_samples, batch_size):
             ids = order[start : start + batch_size]
-            k_eps, k_b = jax.random.split(k_eps)
+            k_b = rng.randint(0, 2**32, size=2, dtype=np.int64).astype(
+                np.uint32
+            )
             yield self.sample_batch(k_b, ids)

@@ -19,6 +19,7 @@ Weight-for-weight compatible with the reference: see
 ``recognizer3d_tpu.models.torch_compat`` for the state-dict mapping.
 """
 
+import os
 from typing import Optional
 
 import jax
@@ -26,9 +27,23 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from recognizer3d_tpu.models.settings import RandLANetSettings
+from recognizer3d_tpu.ops import lfa_pallas
 from recognizer3d_tpu.ops.knn import gather_neighbors, knn, knn_presorted
 from recognizer3d_tpu.ops.knn import FAST_GATHER_MAX_ROWS
 from recognizer3d_tpu.ops.knn_pallas import invert_permutation, morton_order
+
+# tests force the fused eval-mode LFA kernels in pallas interpret mode on
+# CPU; in production they run only where compiled Mosaic is available.
+# RECOGNIZER3D_FUSED_LFA=0 disables the fused path (safety valve / A-B).
+FORCE_FUSED_LFA_INTERPRET = False
+
+
+def _fused_lfa_available() -> bool:
+    if os.environ.get("RECOGNIZER3D_FUSED_LFA", "1") == "0":
+        return False
+    if FORCE_FUSED_LFA_INTERPRET:
+        return True
+    return jax.devices()[0].platform == "tpu"
 
 
 def _sort_rows(x: jax.Array, order: jax.Array) -> jax.Array:
@@ -191,6 +206,12 @@ class FusedRPEMLP(nn.Module):
         k = self.conv.kernel
         return xyz @ (k[3:6] - k[6:9])
 
+    def center_projection(self, xyz: jax.Array) -> jax.Array:
+        """(B, N, 3) → (B, N, half) per-point center term ``(Wc + Wd)·xyz``
+        (the other half of the split Dense — see class docstring)."""
+        k = self.conv.kernel
+        return xyz @ (k[0:3] + k[6:9])
+
     def __call__(
         self,
         xyz: jax.Array,
@@ -237,6 +258,95 @@ class AttentivePooling(nn.Module):
         pooled = jnp.sum(scores * x.astype(scores.dtype), axis=-2)
         return SharedMLP(self.n_out, activation="relu", dtype=self.dtype, name="mlp")(
             pooled, train=train
+        )
+
+
+def _bn_eval_affine(bn: nn.BatchNorm, n_features: int):
+    """Probe a flax BatchNorm for its eval-mode per-channel affine
+    ``y = s·x + o`` (s = γ/√(var+ε), o = β − mean·s) without reaching into
+    its variable dict: two (1, 1, C) constant calls with
+    ``use_running_average=True``. The probes also CREATE the module's
+    params/stats at init time, so the fused eval path leaves the variable
+    tree identical to the unfused one."""
+    z = jnp.zeros((1, 1, n_features), jnp.float32)
+    o = bn(z, use_running_average=True)[0, 0].astype(jnp.float32)
+    s = bn(z + 1.0, use_running_average=True)[0, 0].astype(jnp.float32) - o
+    return s, o
+
+
+class _EvalFusableMLP(nn.Module):
+    """SharedMLP twin with a STATIC input width, declared setup-style so the
+    fused eval path (ops/lfa_pallas.py) can extract its Dense/BatchNorm
+    pieces; ``__call__`` is the exact SharedMLP math (the train path and
+    non-TPU backends use it unchanged). Param paths match SharedMLP's
+    ("conv", "batch_norm"), so archives and reference torch checkpoints
+    (models/torch_compat.py) are interchangeable."""
+
+    n_in: int
+    n_out: int
+    activation: Optional[str] = None
+    dtype: str = "float32"
+
+    def setup(self):
+        init = _torch_uniform_init(self.n_in)
+        self.conv = nn.Dense(
+            self.n_out,
+            kernel_init=init,
+            bias_init=init,
+            dtype=jnp.dtype(self.dtype),
+            name="conv",
+        )
+        self.batch_norm = nn.BatchNorm(
+            momentum=0.01, epsilon=1e-6, dtype=jnp.dtype(self.dtype),
+            name="batch_norm",
+        )
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = self.conv(x)
+        x = self.batch_norm(x, use_running_average=not train)
+        return _activation(self.activation)(x)
+
+    def dense_wb(self):
+        """(W (n_in, n_out), b (n_out,)) via constant probes (init-safe)."""
+        b = self.conv(jnp.zeros((1, self.n_in), jnp.float32))[0]
+        w = self.conv(jnp.eye(self.n_in, dtype=jnp.float32)) - b
+        return w.astype(jnp.float32), b.astype(jnp.float32)
+
+    def bn_affine(self):
+        return _bn_eval_affine(self.batch_norm, self.n_out)
+
+
+class _EvalFusablePool(nn.Module):
+    """AttentivePooling twin with a STATIC input width (see
+    :class:`_EvalFusableMLP`); param paths match AttentivePooling's
+    ("score_fn", "mlp")."""
+
+    n_in: int
+    n_out: int
+    dtype: str = "float32"
+
+    def setup(self):
+        self.score_fn = nn.Dense(
+            self.n_in,
+            use_bias=False,
+            kernel_init=_torch_uniform_init(self.n_in),
+            dtype=jnp.dtype(self.dtype),
+            name="score_fn",
+        )
+        self.mlp = _EvalFusableMLP(
+            self.n_in, self.n_out, activation="relu", dtype=self.dtype,
+            name="mlp",
+        )
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        scores = jax.nn.softmax(self.score_fn(x), axis=-2)
+        pooled = jnp.sum(scores * x.astype(scores.dtype), axis=-2)
+        return self.mlp(pooled, train=train)
+
+    def score_kernel(self):
+        """(n_in, n_in) score matrix via an identity probe (init-safe)."""
+        return self.score_fn(jnp.eye(self.n_in, dtype=jnp.float32)).astype(
+            jnp.float32
         )
 
 
@@ -310,22 +420,76 @@ class LocalFeatureAggregation(nn.Module):
                     xyz, xyz, self.n_neighbors, self.knn_approach
                 )
             gathered = gather_neighbors(table, neighbors)  # (B, N, K, 2·half)
-        distances = jnp.sqrt(d2)
-        rpe = rpe_mlp(xyz, gathered[..., :half], distances, train=train)
-        cat = jnp.concatenate(
-            [rpe, gathered[..., half:].astype(rpe.dtype)], axis=-1
-        )  # (B, N, K, n_out)
-        feats = AttentivePooling(half, dtype=dt, name="pool1")(cat, train=train)
-        # second locSE + attentive pooling
-        rpe = SharedMLP(half, activation="relu", dtype=dt, name="mlp_rpe2")(
-            rpe, train=train
+        pool1 = _EvalFusablePool(self.n_out, half, dtype=dt, name="pool1")
+        pool2 = _EvalFusablePool(self.n_out, self.n_out, dtype=dt, name="pool2")
+        rpe2_mlp = _EvalFusableMLP(
+            half, half, activation="relu", dtype=dt, name="mlp_rpe2"
         )
-        if self.backend is not None:
-            neighbor_feats = self.backend.gather(feats, neighbors)
+        if (
+            self.backend is None
+            and not train
+            and _fused_lfa_available()
+            and lfa_pallas.supports(self.n_neighbors, half, dt)
+        ):
+            # eval-mode fused inner chain: the whole RPE/pool/RPE2 sequence
+            # runs lane-flattened in VMEM (ops/lfa_pallas.py) — at this
+            # level's channel width XLA pays an 8× lane-padding tax on
+            # every (N, K, C) op. Exact reformulation (BN in eval-affine
+            # form); parity-tested in tests/test_lfa_fused.py.
+            interp = FORCE_FUSED_LFA_INTERPRET
+            s1, o1 = _bn_eval_affine(rpe_mlp.batch_norm, half)
+            wp1, bp1 = pool1.mlp.dense_wb()
+            sp1, op1 = pool1.mlp.bn_affine()
+            w2, b2 = rpe2_mlp.dense_wb()
+            s2, o2 = rpe2_mlp.bn_affine()
+            pooled1, rpe2_flat = lfa_pallas.lfa_round1_fused(
+                gathered.astype(jnp.float32),
+                d2,
+                rpe_mlp.center_projection(xyz),
+                rpe_mlp.conv.kernel[9],
+                rpe_mlp.conv.bias,
+                s1,
+                o1,
+                pool1.score_kernel(),
+                wp1,
+                bp1,
+                sp1,
+                op1,
+                w2,
+                b2,
+                s2,
+                o2,
+                interpret=interp,
+            )
+            g2 = gather_neighbors(pooled1, neighbors)
+            wp2, bp2 = pool2.mlp.dense_wb()
+            sp2, op2 = pool2.mlp.bn_affine()
+            feats = lfa_pallas.attentive_pool2_fused(
+                rpe2_flat,
+                g2,
+                pool2.score_kernel(),
+                wp2,
+                bp2,
+                sp2,
+                op2,
+                k=self.n_neighbors,
+                interpret=interp,
+            )
         else:
-            neighbor_feats = gather_neighbors(feats, neighbors)
-        cat = jnp.concatenate([rpe, neighbor_feats], axis=-1)
-        feats = AttentivePooling(self.n_out, dtype=dt, name="pool2")(cat, train=train)
+            distances = jnp.sqrt(d2)
+            rpe = rpe_mlp(xyz, gathered[..., :half], distances, train=train)
+            cat = jnp.concatenate(
+                [rpe, gathered[..., half:].astype(rpe.dtype)], axis=-1
+            )  # (B, N, K, n_out)
+            feats = pool1(cat, train=train)
+            # second locSE + attentive pooling
+            rpe = rpe2_mlp(rpe, train=train)
+            if self.backend is not None:
+                neighbor_feats = self.backend.gather(feats, neighbors)
+            else:
+                neighbor_feats = gather_neighbors(feats, neighbors)
+            cat = jnp.concatenate([rpe, neighbor_feats], axis=-1)
+            feats = pool2(cat, train=train)
         # residual
         out = SharedMLP(2 * self.n_out, dtype=dt, name="mlp2")(feats, train=train)
         shortcut = SharedMLP(2 * self.n_out, dtype=dt, name="shortcut")(

@@ -1,0 +1,333 @@
+"""Fused eval-mode LFA inner kernels (RPE-MLP → attentive pooling → RPE2).
+
+Motivation (benchmarks/RESULTS.md "Where the time goes at 64k"): after the
+KNN kernel and the neighbour gathers, the remaining ~30 ms of the 64k exact
+forward is spread over the LFA's dense/BN/softmax chain. At the first
+encoder level the per-neighbour tensors are (N, K, C) with C = 16 — XLA
+lays the C axis on the 128-wide lane dimension, so every elementwise op,
+softmax and small matmul in that chain pays an 8× lane-padding tax (the
+measured ~7× gap between the stage cost and its HBM-bandwidth floor).
+
+These kernels run the whole inner chain of one LFA round in VMEM on a
+lane-FLATTENED layout, (QB, K·C) — no padding, one HBM read of the gathered
+table and one write of each output:
+
+- round 1 (``lfa_round1_fused``): fused-RPE linearisation (the mlp_rpe1
+  neighbour term rides the combined gather — models/randlanet.py
+  FusedRPEMLP) + BN affine + relu, attentive pooling 1 (scores, softmax
+  over K, weighted sum, pool MLP + BN + relu), and mlp_rpe2 + BN + relu —
+  one kernel, outputs ``(pooled (B,N,h), rpe2 (B,N,K·h))``;
+- round 2 (``attentive_pool2_fused``): the second pooling over the concat
+  of rpe2 and the gathered pooled features.
+
+The trick making the flattened layout workable: every per-channel linear
+op becomes a BLOCK-DIAGONAL matmul ``kron(I_K, W)`` that the MXU executes
+directly — scores = cat @ kron(I_K, Ws); the K-axis softmax reductions are
+log2(K) lane-rolls (``pltpu.roll`` by C·2^j — the k-slots form stride-C
+groups that the cyclic roll permutes exactly); the sum over K folds into
+the pool MLP as ``kron(1_K, Wp)``. BatchNorm enters eval-affine form
+(scale/offset per channel, probed from the flax modules at trace time):
+``relu(BN(x @ W + b))`` ≡ ``relu(x @ (W·s) + (s·b + o))`` with the scale
+folded into the matmul constants outside the kernel.
+
+Train mode keeps the unfused XLA path (batch statistics need global
+reductions); the reference semantics are unchanged — this is an exact
+reformulation, parity-tested against the unfused path in
+tests/test_lfa_fused.py.
+
+Reference scope: modules.py:153-253 (RPE, PFA concat, AttentivePooling)
+and modules.py:298-325 (the LFA forward wiring).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_QB = 256  # query rows per program
+
+
+def supports(k: int, half: int, dtype: str) -> bool:
+    """The fused path covers the first encoder level's geometry: C = 2·half
+    small enough that XLA's lane padding dominates (half == 8 is the only
+    sub-lane level with the default layer sizes), K a power of two (the
+    roll-reduce), lanes K·2h a 128-multiple, and the kron'd score matrix
+    within VMEM budget. float32 only: in bfloat16 mode the BN-affine probes
+    would quantise the running stats to 8 mantissa bits."""
+    lanes = k * 2 * half
+    return (
+        dtype == "float32"
+        and half == 8
+        and k >= 8
+        and (k & (k - 1)) == 0
+        and lanes % 128 == 0
+        and lanes <= 1024
+    )
+
+
+def _roll(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    if interpret:
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift, 1)
+
+
+def _softmax_over_k(scores: jax.Array, c: int, k: int, interpret: bool):
+    """Softmax over the K groups of a (QB, K·C) lane-flattened array.
+
+    Lane l = k·C + c: rolling by C·2^j cyclically permutes the k index with
+    c preserved (the lane count is exactly K·C), so log2(K) roll-max /
+    roll-add steps all-reduce every k-group."""
+    m = scores
+    shift = c
+    while shift < c * k:
+        m = jnp.maximum(m, _roll(m, shift, interpret))
+        shift *= 2
+    e = jnp.exp(scores - m)
+    z = e
+    shift = c
+    while shift < c * k:
+        z = z + _roll(z, shift, interpret)
+        shift *= 2
+    return e / z
+
+
+def _round1_kernel(
+    g_ref,
+    c_ref,
+    d2_ref,
+    e_ref,
+    dm_ref,
+    bd_ref,
+    bd2_ref,
+    sp_ref,
+    s1_ref,
+    o1_ref,
+    o2_ref,
+    op_ref,
+    out1_ref,
+    rpe2_ref,
+    *,
+    h: int,
+    k: int,
+    interpret: bool,
+):
+    c2 = 2 * h
+    L = k * c2
+    g = g_ref[0]  # (QB, L) gathered [support-proj | feats] per neighbour
+    centerb = jnp.dot(
+        c_ref[0], e_ref[...], preferred_element_type=jnp.float32
+    )  # (QB, L) center-term broadcast over K (rpe lanes only)
+    distb = jnp.dot(
+        jnp.sqrt(jnp.maximum(d2_ref[0], 0.0)),
+        dm_ref[...],
+        preferred_element_type=jnp.float32,
+    )  # (QB, L) w9·dist on the rpe lanes
+    lane = lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    is_rpe = lax.rem(lane, c2) < h
+    pre = g + centerb + distb
+    rpe = jnp.maximum(pre * s1_ref[...] + o1_ref[...], 0.0)
+    cat = jnp.where(is_rpe, rpe, g)
+    scores = jnp.dot(cat, bd_ref[...], preferred_element_type=jnp.float32)
+    w = _softmax_over_k(scores, c2, k, interpret)
+    pooled = jnp.dot(w * cat, sp_ref[...], preferred_element_type=jnp.float32)
+    out1_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0)
+    r2 = jnp.dot(cat, bd2_ref[...], preferred_element_type=jnp.float32)
+    rpe2_ref[0] = jnp.maximum(r2 + o2_ref[...], 0.0)
+
+
+def _pool2_kernel(
+    r2_ref,
+    g2_ref,
+    e1_ref,
+    e2_ref,
+    bd_ref,
+    sp_ref,
+    op_ref,
+    out_ref,
+    *,
+    h: int,
+    k: int,
+    interpret: bool,
+):
+    c2 = 2 * h
+    cat = jnp.dot(
+        r2_ref[0], e1_ref[...], preferred_element_type=jnp.float32
+    ) + jnp.dot(g2_ref[0], e2_ref[...], preferred_element_type=jnp.float32)
+    scores = jnp.dot(cat, bd_ref[...], preferred_element_type=jnp.float32)
+    w = _softmax_over_k(scores, c2, k, interpret)
+    pooled = jnp.dot(w * cat, sp_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0)
+
+
+def _pad_rows(x: jax.Array, qb: int) -> jax.Array:
+    n = x.shape[1]
+    pad = (-n) % qb
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    return x
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def lfa_round1_fused(
+    gathered: jax.Array,
+    d2: jax.Array,
+    center_term: jax.Array,
+    w9: jax.Array,
+    b1: jax.Array,
+    s1: jax.Array,
+    o1: jax.Array,
+    ws: jax.Array,
+    wp: jax.Array,
+    bp: jax.Array,
+    sp: jax.Array,
+    op: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    s2: jax.Array,
+    o2: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """First LFA round, fused: RPE-MLP(+BN,relu) → attentive pool 1 →
+    mlp_rpe2(+BN,relu).
+
+    :param gathered: (B, N, K, 2h) combined neighbour gather — lanes
+        [:h] = support-projection rows ((Wn−Wd)·xyz, FusedRPEMLP),
+        [h:] = mlp1 features.
+    :param d2: (B, N, K) squared neighbour distances.
+    :param center_term: (B, N, h) per-point (Wc+Wd)·xyz.
+    :param w9/b1: mlp_rpe1 distance-column weight (h,) and bias (h,).
+    :param s1/o1: mlp_rpe1 BatchNorm eval affine (h,).
+    :param ws: pool1 score kernel (2h, 2h); wp/bp pool1 MLP (2h, h)/(h,);
+        sp/op its BN affine (h,).
+    :param w2/b2: mlp_rpe2 Dense (h, h)/(h,); s2/o2 its BN affine (h,).
+    :return: (pooled1 (B, N, h), rpe2 (B, N, K·h)) — both post-BN-relu.
+    """
+    B, n, k, c2 = gathered.shape
+    h = c2 // 2
+    L = k * c2
+    f32 = jnp.float32
+    g = _pad_rows(gathered.reshape(B, n, L).astype(f32), _QB)
+    d2p = _pad_rows(d2.astype(f32), _QB)
+    ct = _pad_rows(center_term.astype(f32), _QB)
+    n_pad = g.shape[1]
+
+    eye_k = jnp.eye(k, dtype=f32)
+    ones_row = jnp.ones((1, k), f32)
+    pad_h = lambda a: jnp.pad(a, ((0, 0), (0, h)))  # (h, h) -> (h, 2h)
+    e_mat = jnp.kron(ones_row, pad_h(jnp.eye(h, dtype=f32)))  # (h, L)
+    dm = jnp.kron(eye_k, pad_h(w9.astype(f32)[None, :]))  # (K, L)
+    bd = jnp.kron(eye_k, ws.astype(f32))  # (L, L)
+    w2s = w2.astype(f32) * s2.astype(f32)[None, :]
+    bd2 = jnp.kron(eye_k, jnp.pad(w2s, ((0, h), (0, 0))))  # (L, K·h)
+    sp_mat = jnp.kron(
+        jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
+    )  # (L, h)
+    s1v = jnp.tile(jnp.concatenate([s1.astype(f32), jnp.ones(h, f32)]), k)[None]
+    o1v = jnp.tile(
+        jnp.concatenate([s1.astype(f32) * b1.astype(f32) + o1.astype(f32),
+                         jnp.zeros(h, f32)]),
+        k,
+    )[None]
+    o2v = jnp.tile(s2.astype(f32) * b2.astype(f32) + o2.astype(f32), k)[None]
+    opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
+
+    grid = (B, n_pad // _QB)
+    row_spec = lambda width: pl.BlockSpec(
+        (1, _QB, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out1, rpe2 = pl.pallas_call(
+        functools.partial(_round1_kernel, h=h, k=k, interpret=interpret),
+        grid=grid,
+        in_specs=[
+            row_spec(L),
+            row_spec(h),
+            row_spec(k),
+            _const_spec((h, L)),
+            _const_spec((k, L)),
+            _const_spec((L, L)),
+            _const_spec((L, k * h)),
+            _const_spec((L, h)),
+            _const_spec((1, L)),
+            _const_spec((1, L)),
+            _const_spec((1, k * h)),
+            _const_spec((1, h)),
+        ],
+        out_specs=[row_spec(h), row_spec(k * h)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, h), f32),
+            jax.ShapeDtypeStruct((B, n_pad, k * h), f32),
+        ],
+        interpret=interpret,
+    )(g, ct, d2p, e_mat, dm, bd, bd2, sp_mat, s1v, o1v, o2v, opv)
+    return out1[:, :n], rpe2[:, :n]
+
+
+def attentive_pool2_fused(
+    rpe2: jax.Array,
+    g2: jax.Array,
+    ws: jax.Array,
+    wp: jax.Array,
+    bp: jax.Array,
+    sp: jax.Array,
+    op: jax.Array,
+    k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Second attentive pooling, fused: concat(rpe2, gathered pooled
+    features) → scores → softmax over K → weighted sum → pool MLP + BN +
+    relu.
+
+    :param rpe2: (B, N, K·h) from :func:`lfa_round1_fused`.
+    :param g2: (B, N, K, h) gathered pooled-feature rows (flattened OK).
+    :param ws: pool2 score kernel (2h, 2h); wp/bp pool2 MLP (2h, 2h)/(2h,);
+        sp/op its BN affine (2h,).
+    :return: (B, N, 2h) pooled output (post-BN-relu).
+    """
+    B, n = rpe2.shape[:2]
+    kh = rpe2.shape[-1] if rpe2.ndim == 3 else rpe2.shape[-2] * rpe2.shape[-1]
+    h = kh // k
+    c2 = 2 * h
+    L = k * c2
+    f32 = jnp.float32
+    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(f32), _QB)
+    g2f = _pad_rows(g2.reshape(B, n, kh).astype(f32), _QB)
+    n_pad = r2.shape[1]
+
+    eye_k = jnp.eye(k, dtype=f32)
+    eye_h = jnp.eye(h, dtype=f32)
+    e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h))))  # (K·h, L)
+    e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0))))  # (K·h, L)
+    bd = jnp.kron(eye_k, ws.astype(f32))  # (L, L)
+    sp_mat = jnp.kron(
+        jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
+    )  # (L, 2h)
+    opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
+
+    grid = (B, n_pad // _QB)
+    row_spec = lambda width: pl.BlockSpec(
+        (1, _QB, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_pool2_kernel, h=h, k=k, interpret=interpret),
+        grid=grid,
+        in_specs=[
+            row_spec(kh),
+            row_spec(kh),
+            _const_spec((kh, L)),
+            _const_spec((kh, L)),
+            _const_spec((L, L)),
+            _const_spec((L, c2)),
+            _const_spec((1, c2)),
+        ],
+        out_specs=row_spec(c2),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, c2), f32),
+        interpret=interpret,
+    )(r2, g2f, e1, e2, bd, sp_mat, opv)
+    return out[:, :n]

@@ -5,8 +5,11 @@ early_stopper.py): watch one metric (the trainer passes ``val_mIoU``,
 maximizing), snapshot the weights whenever the metric ties or beats the
 best seen so far, and ask training to stop once ``patience`` consecutive
 epochs go by without such an improvement. Unknown metric names never stop
-training. The snapshot here is a ``jax.device_get`` host copy of the flax
-variables pytree (the functional analogue of a ``state_dict`` deepcopy).
+training. The snapshot is the functional analogue of a ``state_dict``
+deepcopy — an ON-DEVICE clone (one jitted copy program) rather than a host
+download: the trainer donates the live buffers into the next epoch's step,
+so a copy is required, but pulling the whole weight pytree to the host every
+improving epoch costs a relay round-trip per leaf on remote-TPU setups.
 """
 
 import logging
@@ -14,8 +17,11 @@ import operator
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 log = logging.getLogger("early stopper")
+
+_clone = jax.jit(lambda tree: jax.tree.map(jnp.copy, tree))
 
 
 class EarlyStopper:
@@ -46,7 +52,7 @@ class EarlyStopper:
             return True
         if self._best is None or self._better(value, self._best):
             self._best = value
-            self._best_variables = jax.device_get(variables)
+            self._best_variables = _clone(variables)
             self._stale_epochs = 0
             return True
         self._stale_epochs += 1
@@ -64,8 +70,8 @@ class EarlyStopper:
 
     @property
     def best_variables(self) -> Optional[Dict]:
-        """Host copy of the weights from the best epoch (None if no epoch
-        ever reported the watched metric)."""
+        """Clone of the weights from the best epoch (None if no epoch ever
+        reported the watched metric)."""
         if self._best_variables is not None:
             log.info(
                 f"Returning model with {self._metric}: {self._best:.3f}"

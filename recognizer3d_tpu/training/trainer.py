@@ -150,7 +150,15 @@ class Trainer:
         if self._log_dir is not None:
             writer = make_summary_writer(str(self._log_dir))
 
-        dropout_root = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        # ALL host-driven RNG (epoch shuffles, per-step PRNG keys, dropout
+        # keys) is drawn from numpy: each jax.random utility call is a tiny
+        # device program whose dispatch pays a full relay RTT on remote-TPU
+        # setups — measured ~1,300 such calls (= minutes of wall clock) over
+        # a 50-epoch run before this change. The uint32 pairs drawn here are
+        # valid threefry keys consumed by jax.random inside the big jitted
+        # programs; signatures (uint32[2]) match the old fold_in-produced
+        # keys, so compile caches are unaffected.
+        host_rng = np.random.RandomState(np.random.randint(0, 2**31 - 1))
         step_counter = 0
         shard_batch = (lambda x: x)
         if mesh is not None:
@@ -183,7 +191,12 @@ class Trainer:
                     "device_pipeline requested but the dataset has extra "
                     "point features; using the host loader."
                 )
-        pipe_root = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        def host_key(n: Optional[int] = None) -> np.ndarray:
+            """(2,) or (n, 2) uint32 threefry key(s) from the host RNG."""
+            shape = (2,) if n is None else (n, 2)
+            return host_rng.randint(
+                0, 2**32, size=shape, dtype=np.int64
+            ).astype(np.uint32)
 
         # with the device-resident pipeline the WHOLE epoch is one jitted
         # program: lax.scan over the shuffled full batches, each step doing
@@ -301,10 +314,8 @@ class Trainer:
             pending = []
             scanned = None
             if epoch_scan is not None:
-                epoch_key = jax.random.fold_in(pipe_root, epoch)
-                k_shuf, k_steps = jax.random.split(epoch_key)
-                order = np.asarray(
-                    jax.random.permutation(k_shuf, device_cache.n_samples)
+                order = host_rng.permutation(device_cache.n_samples).astype(
+                    np.int32
                 )
                 bs = settings.batch_size
                 n_steps = len(order) // bs
@@ -312,12 +323,10 @@ class Trainer:
                     ids = shard_ids(
                         order[: n_steps * bs].reshape(n_steps, bs)
                     )
-                    step_keys = jax.random.split(
-                        jax.random.fold_in(k_steps, 0), n_steps
-                    )
+                    step_keys = host_key(n_steps)
                     params, batch_stats, opt_state, scanned = epoch_scan(
                         params, batch_stats, opt_state, ids, step_keys,
-                        jnp.float32(lr),
+                        np.float32(lr),
                     )
                     step_counter += n_steps
                 # the ragged remainder batch runs through the per-batch step
@@ -326,11 +335,9 @@ class Trainer:
                 batch_iter = []
                 n_rem = len(order) - n_steps * bs
                 if n_rem and mesh is None:
-                    rem_ids = jnp.asarray(order[n_steps * bs :])
+                    rem_ids = order[n_steps * bs :]
                     batch_iter = [
-                        device_cache.sample_batch(
-                            jax.random.fold_in(k_steps, 1), rem_ids
-                        )
+                        device_cache.sample_batch(host_key(), rem_ids)
                     ]
                 elif n_rem:
                     logger.debug(
@@ -339,7 +346,7 @@ class Trainer:
                     )
             elif device_cache is not None:
                 batch_iter = device_cache.epoch_batches(
-                    jax.random.fold_in(pipe_root, epoch), settings.batch_size
+                    host_key(), settings.batch_size
                 )
             else:
                 batch_iter = (
@@ -358,7 +365,7 @@ class Trainer:
                     continue
                 n_pts = inputs.shape[1]
                 permutation = np.random.permutation(n_pts).astype(np.int32)
-                dropout_key = jax.random.fold_in(dropout_root, step_counter)
+                dropout_key = host_key()
                 step_counter += 1
                 (
                     params, batch_stats, opt_state, loss, oa, pca, miou, pciou,
@@ -370,7 +377,7 @@ class Trainer:
                     shard_batch(labels),
                     permutation,
                     dropout_key,
-                    jnp.float32(lr),
+                    np.float32(lr),
                 )
                 pending.append((loss, oa, pca, miou, pciou))
             # one host sync per epoch
