@@ -98,6 +98,24 @@ class TestDeviceDatasetCache:
         assert len(batches) == 3  # 5 samples, batch 2 -> 2+2+1
         assert batches[-1][0].shape[0] == 1
 
+    def test_epoch_batches_deterministic_in_key(self, tmp_path):
+        """The host-side shuffle/key derivation (numpy seeded from the jax
+        key) must be a pure function of the key: same key -> identical
+        batches, different key -> a different epoch."""
+        ds = self._dataset(tmp_path)
+        cache = DeviceDatasetCache(ds, n_points=32)
+        a = list(cache.epoch_batches(jax.random.PRNGKey(7), 2))
+        b = list(cache.epoch_batches(jax.random.PRNGKey(7), 2))
+        c = list(cache.epoch_batches(jax.random.PRNGKey(8), 2))
+        for (pa, la), (pb, lb) in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        assert any(
+            not np.array_equal(np.asarray(pa), np.asarray(pc))
+            for (pa, _), (pc, _) in zip(a, c)
+            if pa.shape == pc.shape
+        )
+
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
