@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from recognizer3d_tpu.utils.host_rng import host_threefry_keys
 from recognizer3d_tpu.data.augmentation import (
     AugmentationSettings,
     perturbate_point_cloud_device,
@@ -186,7 +187,4 @@ class DeviceDatasetCache:
         order = rng.permutation(self.n_samples).astype(np.int32)
         for start in range(0, self.n_samples, batch_size):
             ids = order[start : start + batch_size]
-            k_b = rng.randint(0, 2**32, size=2, dtype=np.int64).astype(
-                np.uint32
-            )
-            yield self.sample_batch(k_b, ids)
+            yield self.sample_batch(host_threefry_keys(rng), ids)

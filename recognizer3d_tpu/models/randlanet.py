@@ -262,15 +262,19 @@ class AttentivePooling(nn.Module):
 
 
 def _bn_eval_affine(bn: nn.BatchNorm, n_features: int):
-    """Probe a flax BatchNorm for its eval-mode per-channel affine
-    ``y = s·x + o`` (s = γ/√(var+ε), o = β − mean·s) without reaching into
-    its variable dict: two (1, 1, C) constant calls with
-    ``use_running_average=True``. The probes also CREATE the module's
+    """Exact eval-mode per-channel affine ``y = s·x + o`` of a flax
+    BatchNorm (s = γ/√(var+ε), o = β − mean·s), computed from the raw
+    variables — NOT by differencing two probe outputs, which would lose
+    ~log2(|mean|/s) mantissa bits to cancellation on checkpoints with
+    large running means. The one zero call only CREATES the module's
     params/stats at init time, so the fused eval path leaves the variable
-    tree identical to the unfused one."""
-    z = jnp.zeros((1, 1, n_features), jnp.float32)
-    o = bn(z, use_running_average=True)[0, 0].astype(jnp.float32)
-    s = bn(z + 1.0, use_running_average=True)[0, 0].astype(jnp.float32) - o
+    tree identical to the unfused one; its output is discarded."""
+    bn(jnp.zeros((1, 1, n_features), jnp.float32), use_running_average=True)
+    f32 = lambda name, col: bn.get_variable(col, name).astype(jnp.float32)
+    s = f32("scale", "params") * jax.lax.rsqrt(
+        f32("var", "batch_stats") + bn.epsilon
+    )
+    o = f32("bias", "params") - f32("mean", "batch_stats") * s
     return s, o
 
 
@@ -307,10 +311,13 @@ class _EvalFusableMLP(nn.Module):
         return _activation(self.activation)(x)
 
     def dense_wb(self):
-        """(W (n_in, n_out), b (n_out,)) via constant probes (init-safe)."""
-        b = self.conv(jnp.zeros((1, self.n_in), jnp.float32))[0]
-        w = self.conv(jnp.eye(self.n_in, dtype=jnp.float32)) - b
-        return w.astype(jnp.float32), b.astype(jnp.float32)
+        """Exact (W (n_in, n_out), b (n_out,)) from the Dense's variables;
+        the zero call only creates them at init time."""
+        self.conv(jnp.zeros((1, self.n_in), jnp.float32))
+        return (
+            self.conv.get_variable("params", "kernel").astype(jnp.float32),
+            self.conv.get_variable("params", "bias").astype(jnp.float32),
+        )
 
     def bn_affine(self):
         return _bn_eval_affine(self.batch_norm, self.n_out)
@@ -344,8 +351,10 @@ class _EvalFusablePool(nn.Module):
         return self.mlp(pooled, train=train)
 
     def score_kernel(self):
-        """(n_in, n_in) score matrix via an identity probe (init-safe)."""
-        return self.score_fn(jnp.eye(self.n_in, dtype=jnp.float32)).astype(
+        """Exact (n_in, n_in) score matrix from the Dense's variables; the
+        zero call only creates them at init time."""
+        self.score_fn(jnp.zeros((1, self.n_in), jnp.float32))
+        return self.score_fn.get_variable("params", "kernel").astype(
             jnp.float32
         )
 

@@ -26,7 +26,8 @@ directly — scores = cat @ kron(I_K, Ws); the K-axis softmax reductions are
 log2(K) lane-rolls (``pltpu.roll`` by C·2^j — the k-slots form stride-C
 groups that the cyclic roll permutes exactly); the sum over K folds into
 the pool MLP as ``kron(1_K, Wp)``. BatchNorm enters eval-affine form
-(scale/offset per channel, probed from the flax modules at trace time):
+(scale/offset per channel, read exactly from the flax variables at trace
+time — models/randlanet.py ``_bn_eval_affine``):
 ``relu(BN(x @ W + b))`` ≡ ``relu(x @ (W·s) + (s·b + o))`` with the scale
 folded into the matmul constants outside the kernel.
 
@@ -56,8 +57,9 @@ def supports(k: int, half: int, dtype: str) -> bool:
     small enough that XLA's lane padding dominates (half == 8 is the only
     sub-lane level with the default layer sizes), K a power of two (the
     roll-reduce), lanes K·2h a 128-multiple, and the kron'd score matrix
-    within VMEM budget. float32 only: in bfloat16 mode the BN-affine probes
-    would quantise the running stats to 8 mantissa bits."""
+    within VMEM budget. float32 only: the kernel computes in f32, so in
+    bfloat16 mode it would silently give up the bf16 chain's speed (and
+    diverge numerically from the unfused bf16 path it must match)."""
     lanes = k * 2 * half
     return (
         dtype == "float32"

@@ -45,6 +45,7 @@ from recognizer3d_tpu.training.metrics import (
     iou_array,
 )
 from recognizer3d_tpu.training.settings import TrainingSettings
+from recognizer3d_tpu.utils.host_rng import host_threefry_keys
 from recognizer3d_tpu.utils.tb import make_summary_writer
 
 logger = logging.getLogger("trainer")
@@ -193,10 +194,7 @@ class Trainer:
                 )
         def host_key(n: Optional[int] = None) -> np.ndarray:
             """(2,) or (n, 2) uint32 threefry key(s) from the host RNG."""
-            shape = (2,) if n is None else (n, 2)
-            return host_rng.randint(
-                0, 2**32, size=shape, dtype=np.int64
-            ).astype(np.uint32)
+            return host_threefry_keys(host_rng, n)
 
         # with the device-resident pipeline the WHOLE epoch is one jitted
         # program: lax.scan over the shuffled full batches, each step doing
