@@ -100,6 +100,20 @@ class Dataset(Sequence):
         self._cache: "dict" = {}
         self._cache_bytes = 0
         self._cache_limit_bytes = 512 << 20
+        # sorted *_data* listing, revalidated against the directory mtime
+        # (int indexing re-listed the whole directory per access otherwise;
+        # adds/removes bump the dir mtime, rewrites of existing npys are
+        # covered by the per-sample stamps above)
+        self._listing: Optional[Tuple[Optional[int], List[Path]]] = None
+
+    def _data_listing(self) -> List[Path]:
+        try:
+            token: Optional[int] = self._root_path.stat().st_mtime_ns
+        except OSError:
+            token = None
+        if self._listing is None or self._listing[0] != token:
+            self._listing = (token, sorted(self._root_path.glob("*_data*")))
+        return self._listing[1]
 
     def __len__(self):
         if self._selection is not None:
@@ -113,7 +127,7 @@ class Dataset(Sequence):
     def _get_item_index(
         self, index: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        data = sorted(self._root_path.glob("*_data*"))
+        data = self._data_listing()
         while True:
             if self._selection is not None:
                 selected_sample_path = data[self._selection[index]]

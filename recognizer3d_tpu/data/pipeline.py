@@ -123,6 +123,9 @@ class DeviceDatasetCache:
         self.n_points = n_points
         self._augmentation = augmentation_settings
 
+        # table at least n_points wide so the top_k selection below is
+        # well-formed even when every cloud is shorter than n_points
+        n_max = max(n_max, n_points)
         xyz_pad = np.zeros((self.n_samples, n_max, 3), np.float32)
         lab_pad = np.zeros((self.n_samples, n_max), np.int32)
         valid = np.zeros((self.n_samples, n_max), bool)
@@ -142,11 +145,22 @@ class DeviceDatasetCache:
         self._valid = put(valid)
 
         def _sample_one(key, xyz, labels, valid):
-            k_sel, k_aug = jax.random.split(key)
+            k_sel, k_dup, k_aug = jax.random.split(key, 3)
             priority = jnp.where(
                 valid, jax.random.uniform(k_sel, valid.shape), jnp.inf
             )
             _, order = jax.lax.top_k(-priority, n_points)
+            # clouds shorter than n_points: top_k's tail picks invalid
+            # (zero-padded) rows. Replace them with random duplicates of
+            # the selected real points — the host sampler's contract
+            # (preprocessing.sample_points pads with replacement; reference
+            # preprocessing.py:35-62) — instead of injecting origin points.
+            n_valid = jnp.sum(valid)
+            n_real = jnp.maximum(jnp.minimum(n_valid, n_points), 1)
+            dup_pos = jax.random.randint(k_dup, (n_points,), 0, n_real)
+            order = jnp.where(
+                jnp.arange(n_points) < n_valid, order, order[dup_pos]
+            )
             pts = xyz[order]
             labs = labels[order]
             if augmentation_settings is not None:

@@ -224,7 +224,7 @@ class FusedRPEMLP(nn.Module):
         :param distances: (B, N, K) euclidean neighbour distances.
         :return: (B, N, K, half) — relu(BN(Dense(rpe)))."""
         k = self.conv.kernel
-        center = xyz @ (k[0:3] + k[6:9])  # (B, N, half)
+        center = self.center_projection(xyz)  # (B, N, half)
         out = (
             center[:, :, None, :]
             + q_gathered

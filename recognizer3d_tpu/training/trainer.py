@@ -25,6 +25,7 @@ all-reduce via XLA collectives — see recognizer3d_tpu/parallel).
 """
 
 import logging
+import math
 import time
 from collections import OrderedDict
 from functools import partial
@@ -104,7 +105,24 @@ class Trainer:
         if settings.data_parallel_devices > 1:
             from recognizer3d_tpu.parallel.mesh import data_parallel_mesh
 
-            mesh = data_parallel_mesh(settings.data_parallel_devices)
+            # full batches must shard evenly over the mesh (the ragged-batch
+            # guard in the epoch loop drops what cannot shard — if batch_size
+            # itself were ragged, EVERY batch would be dropped and training
+            # would silently do nothing). Clamp the mesh to the largest
+            # divisor of batch_size we have devices for.
+            n_dp = math.gcd(settings.data_parallel_devices, settings.batch_size)
+            if n_dp != settings.data_parallel_devices:
+                logger.warning(
+                    f"batch_size {settings.batch_size} is not divisible by "
+                    f"data_parallel_devices {settings.data_parallel_devices}; "
+                    + (
+                        f"using a {n_dp}-device data-parallel mesh instead."
+                        if n_dp > 1
+                        else "running without data-parallel sharding."
+                    )
+                )
+            if n_dp > 1:
+                mesh = data_parallel_mesh(n_dp)
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(
@@ -173,7 +191,16 @@ class Trainer:
         if settings.device_pipeline:
             preproc = self._train_dataloader.dataset
             sample0 = preproc._dataset[0]
-            if sample0[1].shape[1] == 0:  # xyz-only datasets
+            if preproc._normalization is not None:
+                # the device sampler has no normalization stage; silently
+                # skipping it would train on un-normalized clouds while the
+                # (host) validation loader normalizes
+                logger.warning(
+                    "device_pipeline requested but the loader uses "
+                    f"normalization={preproc._normalization!r}; using the "
+                    "host loader."
+                )
+            elif sample0[1].shape[1] == 0:  # xyz-only datasets
                 from recognizer3d_tpu.data.pipeline import DeviceDatasetCache
 
                 t_cache = time.monotonic()
@@ -207,70 +234,63 @@ class Trainer:
         # sample ids arrive sharded over the "data" axis (the dataset tables
         # are replicated — pipeline.py), so batch assembly, forward, backward
         # and the gradient/BN psums all stay inside the one program; the
-        # mesh only requires batch_size % n_devices == 0.
+        # mesh size divides batch_size by construction (gcd clamp above).
         epoch_scan = None
         shard_ids = jnp.asarray
         if device_cache is not None:
-            if mesh is not None and settings.batch_size % mesh.size != 0:
-                logger.warning(
-                    "device_pipeline epoch fusion needs batch_size divisible "
-                    f"by the mesh ({settings.batch_size} % {mesh.size}); "
-                    "falling back to per-step dispatch."
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                ids_sharding = NamedSharding(
+                    mesh, PartitionSpec(None, "data")
                 )
-            else:
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
+                shard_ids = lambda ids: jax.device_put(ids, ids_sharding)
+            sample_batch_fn = device_cache.sample_batch_fn
+            n_pts_scan = device_cache.n_points
 
-                    ids_sharding = NamedSharding(
-                        mesh, PartitionSpec(None, "data")
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def epoch_scan(params, batch_stats, opt_state, sample_ids,
+                           step_keys, lr):
+                def body(carry, xs):
+                    params, batch_stats, opt_state = carry
+                    ids, step_key = xs
+                    k_batch, k_perm, k_drop = jax.random.split(
+                        step_key, 3
                     )
-                    shard_ids = lambda ids: jax.device_put(ids, ids_sharding)
-                sample_batch_fn = device_cache.sample_batch_fn
-                n_pts_scan = device_cache.n_points
+                    inputs, labels = sample_batch_fn(k_batch, ids)
+                    permutation = jax.random.permutation(
+                        k_perm, n_pts_scan
+                    ).astype(jnp.int32)
 
-                @partial(jax.jit, donate_argnums=(0, 1, 2))
-                def epoch_scan(params, batch_stats, opt_state, sample_ids,
-                               step_keys, lr):
-                    def body(carry, xs):
-                        params, batch_stats, opt_state = carry
-                        ids, step_key = xs
-                        k_batch, k_perm, k_drop = jax.random.split(
-                            step_key, 3
+                    def loss_fn(p):
+                        logits, updates = module.apply(
+                            {"params": p, "batch_stats": batch_stats},
+                            inputs,
+                            permutation,
+                            train=True,
+                            rngs={"dropout": k_drop},
+                            mutable=["batch_stats"],
                         )
-                        inputs, labels = sample_batch_fn(k_batch, ids)
-                        permutation = jax.random.permutation(
-                            k_perm, n_pts_scan
-                        ).astype(jnp.int32)
+                        loss = criterion(logits, labels)
+                        return loss, (logits, updates["batch_stats"])
 
-                        def loss_fn(p):
-                            logits, updates = module.apply(
-                                {"params": p, "batch_stats": batch_stats},
-                                inputs,
-                                permutation,
-                                train=True,
-                                rngs={"dropout": k_drop},
-                                mutable=["batch_stats"],
-                            )
-                            loss = criterion(logits, labels)
-                            return loss, (logits, updates["batch_stats"])
-
-                        (loss, (logits, new_bs)), grads = jax.value_and_grad(
-                            loss_fn, has_aux=True
-                        )(params)
-                        updates, new_opt = tx.update(grads, opt_state)
-                        new_params = optax.apply_updates(
-                            params, jax.tree.map(lambda u: -lr * u, updates)
-                        )
-                        return (
-                            (new_params, new_bs, new_opt),
-                            (loss,) + _metrics_arrays(logits, labels),
-                        )
-
-                    (params, batch_stats, opt_state), metrics = jax.lax.scan(
-                        body, (params, batch_stats, opt_state),
-                        (sample_ids, step_keys),
+                    (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params)
+                    updates, new_opt = tx.update(grads, opt_state)
+                    new_params = optax.apply_updates(
+                        params, jax.tree.map(lambda u: -lr * u, updates)
                     )
-                    return params, batch_stats, opt_state, metrics
+                    return (
+                        (new_params, new_bs, new_opt),
+                        (loss,) + _metrics_arrays(logits, labels),
+                    )
+
+                (params, batch_stats, opt_state), metrics = jax.lax.scan(
+                    body, (params, batch_stats, opt_state),
+                    (sample_ids, step_keys),
+                )
+                return params, batch_stats, opt_state, metrics
 
         # checkpoint / resume (additive over the reference, SURVEY.md §5.4)
         ckpt_dir = None

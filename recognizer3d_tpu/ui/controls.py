@@ -106,6 +106,8 @@ class ControlBar(tk.Frame):
         return self._job
 
     def refresh_model_name(self) -> None:
+        if not self._models_dir.is_dir():  # nothing trained yet
+            return
         entries = sorted(self._models_dir.iterdir())
         if entries:
             self._model_label["text"] = entries[-1].name
@@ -125,7 +127,7 @@ class ControlBar(tk.Frame):
             self.after(_POLL_MS, self._poll_training)
             return
         self._job = None
-        self._train_button["state"] = "active"
+        self._train_button["state"] = "normal"
         self.refresh_model_name()
 
     # -- prediction ----------------------------------------------------

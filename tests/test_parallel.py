@@ -358,6 +358,58 @@ class TestDataParallelEpochFusion:
         )
         return seen, model.variables["params"]
 
+    def test_ragged_batch_size_still_trains(self, eight_devices, tmp_path):
+        """batch_size not divisible by data_parallel_devices must clamp the
+        mesh (gcd), NOT drop every batch: regression for the bug where the
+        ragged-batch guard discarded the whole epoch (zero optimizer steps,
+        NaN loss) whenever batch_size % mesh.size != 0."""
+        from datetime import datetime
+
+        from recognizer3d_tpu import (
+            Dataset, Model, RandLANetSettings, TrainingSettings,
+        )
+
+        ds = Dataset(tmp_path / "ragged")
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            ts = datetime(2026, 1, 1, 12, 0, i)
+            cloud = rng.randn(150, 3).astype(np.float32) * 0.1
+            ds[ts] = cloud
+            ann = np.zeros(150, dtype=np.uint8)
+            ann[rng.choice(150, 5, replace=False)] = 1
+            ds.set_annotation(ts, ann)
+        train_ds, val_ds = ds.split()
+
+        tiny = dict(
+            n_classes=2, n_points=64, n_neighbors=4, decimation=2,
+            layer_sizes=[4, 8, 16, 32], knn="naive",
+        )
+        model = Model(RandLANetSettings(**tiny), seed=0)
+        init_params = jax.tree.map(np.asarray, model.variables["params"])
+        seen = []
+        model.train(
+            train_ds,
+            val_ds,
+            # gcd(3, 2) = 1 -> unsharded fallback; before the fix the
+            # 2-device mesh dropped the (ragged) batch of 3 every epoch
+            TrainingSettings(
+                epochs=1, batch_size=3, early_stopping=False,
+                device_pipeline=True, data_parallel_devices=2,
+            ),
+            class_names=["bg", "fg"],
+            callbacks=[lambda e, m: seen.append(m)],
+        )
+        assert len(seen) == 1
+        assert np.isfinite(seen[0]["loss"])
+        moved = any(
+            not np.allclose(a, np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(init_params),
+                jax.tree.leaves(model.variables["params"]),
+            )
+        )
+        assert moved, "no optimizer step ran"
+
     def test_dp_epoch_scan_matches_single_device(self, eight_devices, tmp_path):
         """Same seeds -> same batches/permutations/dropout, so the sharded
         scan must track the single-device one: identical step losses (drawn

@@ -89,6 +89,29 @@ class TestDeviceDatasetCache:
         # (the clouds are random gaussians, zero-padding would show up)
         assert (np.abs(np.asarray(pts)).sum(axis=-1) > 0).all()
 
+    def test_short_cloud_pads_with_real_duplicates(self, tmp_path):
+        """Clouds shorter than n_points must be padded with random
+        duplicates of real points (the host sampler's contract,
+        preprocessing.sample_points) — not with the table's zero padding,
+        which would inject fake origin points labeled background."""
+        ds = Dataset(tmp_path / "short")
+        rng = np.random.RandomState(3)
+        ts = datetime(2026, 1, 2, 9, 0, 0)
+        cloud = (rng.randn(40, 3).astype(np.float32) * 0.1) + 1.0  # no zeros
+        ds[ts] = cloud
+        ann = np.ones(40, dtype=np.uint8)  # all foreground
+        ds.set_annotation(ts, ann)
+        cache = DeviceDatasetCache(ds, n_points=64)
+        pts, labs = cache.sample_batch(jax.random.PRNGKey(0), np.array([0]))
+        pts, labs = np.asarray(pts)[0], np.asarray(labs)[0]
+        # every sampled point must be one of the 40 real points
+        d2 = ((pts[:, None, :] - cloud[None]) ** 2).sum(-1)
+        assert d2.min(axis=1).max() == 0.0
+        # labels ride along with the duplicated points
+        assert (labs == 1).all()
+        # all real points appear (top_k keeps the full valid prefix)
+        assert len(np.unique(d2.argmin(axis=1))) == 40
+
     def test_epoch_covers_dataset(self, tmp_path):
         ds = self._dataset(tmp_path)
         cache = DeviceDatasetCache(
