@@ -88,6 +88,13 @@ def main():
     # ------------------------------------------------------------------
     # primary: clouds/sec/chip at 64k points (forward pass)
     # ------------------------------------------------------------------
+    def _make_fwd(model):
+        def fwd(c, variables, x, perm):
+            logits = model._forward_jit(variables, x + c * 1e-12, perm)
+            return jnp.float32(jnp.max(logits))
+
+        return fwd
+
     settings64 = RandLANetSettings(
         n_classes=2, n_features=0, knn="naive", n_points=65536,
         n_neighbors=32, decimation=4,
@@ -96,9 +103,7 @@ def main():
     x64 = jnp.asarray(rng.randn(1, 65536, 3).astype(np.float32) * 0.2)
     perm64 = jnp.asarray(rng.permutation(65536).astype(np.int32))
 
-    def fwd64(c, variables, x, perm):
-        logits = model64._forward_jit(variables, x + c * 1e-12, perm)
-        return jnp.float32(jnp.max(logits))
+    fwd64 = _make_fwd(model64)
 
     t64 = _device_time(fwd64, (model64.variables, x64, perm64), iters=10)
     clouds_per_sec = 1.0 / t64
@@ -123,9 +128,7 @@ def main():
     )
     model64a = Model(settings64a, seed=0)
 
-    def fwd64a(c, variables, x, perm):
-        logits = model64a._forward_jit(variables, x + c * 1e-12, perm)
-        return jnp.float32(jnp.max(logits))
+    fwd64a = _make_fwd(model64a)
 
     t64a = _device_time(fwd64a, (model64a.variables, x64, perm64), iters=10)
 
@@ -140,9 +143,7 @@ def main():
         seed=0,
     )
 
-    def fwd64bf(c, variables, x, perm):
-        logits = model64bf._forward_jit(variables, x + c * 1e-12, perm)
-        return jnp.float32(jnp.max(logits))
+    fwd64bf = _make_fwd(model64bf)
 
     t64bf = _device_time(fwd64bf, (model64bf.variables, x64, perm64), iters=10)
 

@@ -123,7 +123,11 @@ class App:
             print("No model loaded yet. First train a model.")
             return False
         self._predictor = Predictor(
-            MODELS_DIR / model_name, self.controls.confidence
+            MODELS_DIR / model_name,
+            self.controls.confidence,
+            # warm the padded-size bucket live frames actually land in
+            # (empty before the first frame -> Predictor's 30-pt minimum)
+            warmup_points=self.camera.last_cloud.shape[0],
         )
         return True
 

@@ -27,17 +27,23 @@ class Predictor:
         model_path: Path,
         confidence_threshold: float = 0.5,
         transfer_dtype: str = "float32",
+        warmup_points: int = 30,
     ) -> None:
+        """:param warmup_points: size of the dummy warm-up cloud. The
+        predict program is compiled per PADDED-size bucket (facade._bucket),
+        so pass a representative frame size when known — the reference's
+        30-point default (predict.py:23-24) only compiles the smallest
+        bucket, leaving the first real frame to pay its own compile."""
         self.confidence_threshold = float(confidence_threshold)
         self._model = Model.load(
             Path(model_path), use_gpu=True, transfer_dtype=transfer_dtype
         )
-        self._warm_up()
+        self._warm_up(max(int(warmup_points), 30))
 
-    def _warm_up(self) -> None:
+    def _warm_up(self, n_points: int) -> None:
         """Trigger jit compilation so the first real frame isn't slow."""
         self._model.predict_mask(
-            np.random.random((30, 3)), self.confidence_threshold
+            np.random.random((n_points, 3)), self.confidence_threshold
         )
 
     def predict(self, point_cloud: np.ndarray) -> np.ndarray:
@@ -64,6 +70,13 @@ def visualize(
     """Show one sample in a blocking vispy window; returns True when the
     user pressed Escape (stop iterating)."""
     import vispy
+
+    # pin the backend like the reference CLI (predict.py:12) — without it
+    # vispy auto-selects (Qt over tk) in multi-toolkit environments
+    try:
+        vispy.use("tkinter")
+    except RuntimeError:
+        pass  # a backend is already in use (e.g. embedded in the app)
     import vispy.app
     import vispy.scene
 
@@ -153,9 +166,6 @@ def _cli() -> None:
     args = parser.parse_args()
     project_dir = Path(__file__).absolute().parent
 
-    predictor = Predictor(
-        project_dir / args.model, args.confidence, args.transfer_dtype
-    )
     samples = DatasetMerged(
         [
             Dataset(
@@ -165,6 +175,14 @@ def _cli() -> None:
             )
             for name in args.dataset
         ]
+    )
+    predictor = Predictor(
+        project_dir / args.model,
+        args.confidence,
+        args.transfer_dtype,
+        # warm the bucket the real clouds will land in, not just the
+        # 30-point minimum (compiles are per padded-size bucket)
+        warmup_points=samples[0][0].shape[0] if len(samples) else 30,
     )
     for point_cloud, _features, annotation in samples:
         prediction = predictor.predict(point_cloud)

@@ -108,6 +108,18 @@ class TrainingJob:
             return 100
         return min(self._latest, 99)
 
+    @property
+    def succeeded(self):
+        """None while running; afterwards whether the child exited cleanly.
+        ``poll()`` keeps the reference's contract (100 = finished, however
+        it finished — train.py:33-39); callers that must distinguish a
+        crash from a completion check this instead."""
+        if self._process is None:
+            return True
+        if self._process.is_alive():
+            return None
+        return self._process.exitcode == 0
+
     def kill(self) -> None:
         """Hard-stop the training process (app shutdown path)."""
         if self._process is not None and self._process.is_alive():
@@ -132,12 +144,29 @@ def _start_tensorboard_server(logdir: Path):
 
     if importlib.util.find_spec("tensorboard") is None:
         return None
+
+    def _demoted_child() -> None:
+        os.nice(19)
+        # die with the training worker even when it is SIGKILLed (the
+        # app's Escape path) — otherwise tensorboard outlives it, holds
+        # the port, and the next run's instance silently fails to bind
+        try:
+            import ctypes
+            import signal
+
+            PR_SET_PDEATHSIG = 1
+            ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+                PR_SET_PDEATHSIG, signal.SIGTERM
+            )
+        except Exception:
+            pass  # non-glibc platform: fall back to the finally-block kill
+
     try:
         return subprocess.Popen(
             [sys.executable, "-m", "tensorboard", "--logdir", str(logdir)],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
-            preexec_fn=lambda: os.nice(19),
+            preexec_fn=_demoted_child,
         )
     except Exception:
         return None
@@ -242,6 +271,9 @@ def _cli() -> None:
         if percent == 100:
             break
         sleep(1)
+    if job.succeeded is False:
+        print("training process crashed — see its output above")
+        raise SystemExit(1)
     print(f"training took {(time() - started) / 60} minutes")
 
 
