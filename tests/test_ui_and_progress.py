@@ -62,6 +62,11 @@ def _fake_train(progress_queue):
         time.sleep(0.05)
 
 
+def _crash_train(progress_queue):
+    progress_queue.put(10)
+    raise SystemExit(3)
+
+
 class TestTrainingJobProgress:
     """The one-way int-percentage progress contract (reference
     train.py:14-42): latest value wins, never 100 while the process is
@@ -112,6 +117,23 @@ class TestTrainingJobProgress:
         from train import TrainingJob
 
         TrainingJob(None, None).kill()
+
+    def test_succeeded_distinguishes_crash_from_completion(self):
+        """poll() keeps the reference's 100-on-exit contract even for a
+        crashed worker; ``succeeded`` is what exposes the difference (the
+        CLI exits 1 on it instead of printing success)."""
+        from train import TrainingJob
+
+        ctx = multiprocessing.get_context("spawn")
+        q = ctx.Queue()
+        p = ctx.Process(target=_crash_train, args=(q,))
+        p.start()
+        job = TrainingJob(p, q)
+        p.join(30)
+        assert job.poll() == 100
+        assert job.succeeded is False
+        # processless job (tests/UI construction) counts as succeeded
+        assert TrainingJob(None, None).succeeded is True
 
 
 class TestTensorboardServer:
