@@ -53,6 +53,21 @@ struct QueryState {
     worst = std::numeric_limits<float>::infinity();
   }
 
+  // restore the max-heap property from the root over the first n entries
+  inline void sift_down(int32_t n) {
+    int32_t c = 0;
+    for (;;) {
+      const int32_t l = 2 * c + 1, r = 2 * c + 2;
+      int32_t largest = c;
+      if (l < n && d[l] > d[largest]) largest = l;
+      if (r < n && d[r] > d[largest]) largest = r;
+      if (largest == c) break;
+      std::swap(d[c], d[largest]);
+      std::swap(i[c], i[largest]);
+      c = largest;
+    }
+  }
+
   inline void push(float d2, int32_t idx) {
     if (static_cast<int32_t>(d.size()) < k) {
       d.push_back(d2);
@@ -69,18 +84,7 @@ struct QueryState {
     } else if (d2 < worst) {
       d[0] = d2;
       i[0] = idx;
-      const int32_t n = static_cast<int32_t>(d.size());
-      int32_t c = 0;
-      for (;;) {
-        const int32_t l = 2 * c + 1, r = 2 * c + 2;
-        int32_t largest = c;
-        if (l < n && d[l] > d[largest]) largest = l;
-        if (r < n && d[r] > d[largest]) largest = r;
-        if (largest == c) break;
-        std::swap(d[c], d[largest]);
-        std::swap(i[c], i[largest]);
-        c = largest;
-      }
+      sift_down(static_cast<int32_t>(d.size()));
       worst = d[0];
     }
   }
@@ -100,16 +104,20 @@ class KDTree {
   int32_t query(const float* q, int32_t k, QueryState& state,
                 int32_t* out_idx, float* out_d2) const {
     state.reset(std::min(k, n_));
+    if (state.k <= 0) return 0;  // k==0 request or empty support
     search(root_, q, state);
     const int32_t cnt = static_cast<int32_t>(state.d.size());
-    std::vector<int32_t> perm(cnt);
-    for (int32_t i = 0; i < cnt; ++i) perm[i] = i;
-    std::sort(perm.begin(), perm.end(), [&](int32_t a, int32_t b) {
-      return state.d[a] < state.d[b];
-    });
-    for (int32_t i = 0; i < cnt; ++i) {
-      out_idx[i] = state.i[perm[i]];
-      out_d2[i] = state.d[perm[i]];
+    // heap-sort in place (state.d is already a max-heap): ascending order
+    // with zero per-query allocation — this runs once per query in the
+    // parallel hot loop, so no std::vector churn here
+    for (int32_t sz = cnt; sz > 1; --sz) {
+      std::swap(state.d[0], state.d[sz - 1]);
+      std::swap(state.i[0], state.i[sz - 1]);
+      state.sift_down(sz - 1);
+    }
+    for (int32_t j = 0; j < cnt; ++j) {
+      out_idx[j] = state.i[j];
+      out_d2[j] = state.d[j];
     }
     return cnt;
   }
@@ -195,6 +203,16 @@ extern "C" {
 void knn_kdtree_batch(const float* support, int64_t b, int64_t n,
                       const float* query, int64_t m, int32_t k,
                       int32_t* out_idx, float* out_d2) {
+  if (b <= 0 || m <= 0 || k <= 0) return;
+  if (n <= 0) {
+    // no support points: fail loudly downstream (idx 0 into an empty set
+    // would read out of bounds if gathered; +inf fails any radius test).
+    // The Python front-end rejects this before calling; defensive here.
+    std::fill(out_idx, out_idx + b * m * k, 0);
+    std::fill(out_d2, out_d2 + b * m * k,
+              std::numeric_limits<float>::infinity());
+    return;
+  }
   for (int64_t bi = 0; bi < b; ++bi) {
     const float* s = support + bi * n * 3;
     const float* q = query + bi * m * 3;

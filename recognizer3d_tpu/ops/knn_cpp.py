@@ -42,8 +42,16 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    # ALWAYS invoke make (it is mtime-aware, a no-op when current): the
+    # library uses -march=native, so it must be built by the machine that
+    # runs it, and source edits must never be masked by a stale binary.
+    # If the toolchain is missing but a previously built .so exists,
+    # fall back to it rather than failing.
+    try:
         _build_library()
+    except Exception:
+        if not _LIB_PATH.exists():
+            raise
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.knn_kdtree_batch.restype = None
     lib.knn_kdtree_batch.argtypes = [
@@ -57,7 +65,9 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),  # out d2
     ]
     lib.knn_kdtree_abi_version.restype = ctypes.c_int32
-    assert lib.knn_kdtree_abi_version() == 1
+    abi = lib.knn_kdtree_abi_version()
+    if abi != 1:  # not an assert: must survive python -O
+        raise RuntimeError(f"libknn_kdtree ABI {abi}, expected 1")
     _lib = lib
     return lib
 
@@ -83,8 +93,21 @@ def knn_kdtree_host(
     lib = _load()
     support = np.ascontiguousarray(support, dtype=np.float32)
     query = np.ascontiguousarray(query, dtype=np.float32)
+    if support.ndim != 3 or query.ndim != 3:
+        raise ValueError(
+            f"expected (B, N, 3) support and (B, M, 3) query, got "
+            f"{support.shape} and {query.shape}"
+        )
     b, n, _ = support.shape
     m = query.shape[1]
+    if query.shape[0] != b:
+        raise ValueError(
+            f"batch mismatch: support B={b}, query B={query.shape[0]}"
+        )
+    if n < 1:
+        raise ValueError("support is empty (N=0): no neighbours exist")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     out_idx = np.empty((b, m, k), dtype=np.int32)
     out_d2 = np.empty((b, m, k), dtype=np.float32)
     lib.knn_kdtree_batch(

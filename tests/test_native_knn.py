@@ -64,3 +64,25 @@ class TestNativeKdtree:
         i, d = knn_cpp.knn_kdtree_host(s, s, 4)
         np.testing.assert_array_equal(i[0, :, 0], np.arange(400))
         np.testing.assert_allclose(d[0, :, 0], 0.0, atol=1e-9)
+
+    def test_invalid_inputs_raise(self):
+        """The ctypes boundary validates what C++ cannot fail loudly on:
+        empty support, k < 1, and mismatched batch sizes would otherwise
+        read/write out of bounds in the native kernel."""
+        rng = np.random.RandomState(4)
+        q = rng.rand(2, 10, 3).astype(np.float32)
+        with pytest.raises(ValueError, match="empty"):
+            knn_cpp.knn_kdtree_host(np.zeros((2, 0, 3), np.float32), q, 3)
+        with pytest.raises(ValueError, match="k must be"):
+            knn_cpp.knn_kdtree_host(q, q, 0)
+        with pytest.raises(ValueError, match="batch mismatch"):
+            knn_cpp.knn_kdtree_host(q, q[:1], 3)
+
+    def test_heapsort_output_ascending(self):
+        """Distances per query row come back ascending (the in-place
+        heap-sort replacing the old per-query permutation sort)."""
+        rng = np.random.RandomState(5)
+        s = rng.rand(1, 500, 3).astype(np.float32)
+        q = rng.rand(1, 200, 3).astype(np.float32)
+        _i, d = knn_cpp.knn_kdtree_host(s, q, 16)
+        assert (np.diff(d[0], axis=-1) >= 0).all()
