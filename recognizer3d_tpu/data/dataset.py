@@ -115,6 +115,18 @@ class Dataset(Sequence):
             self._listing = (token, sorted(self._root_path.glob("*_data*")))
         return self._listing[1]
 
+    def _listing_entry(self, index: int) -> Path:
+        """Indexed access into the cached listing; an out-of-range index
+        forces ONE re-list first — directory mtimes can be too coarse to
+        catch a sample added within the same mtime tick as the cached scan
+        (so the cache alone could under-report and raise IndexError for a
+        file that exists)."""
+        data = self._data_listing()
+        if not -len(data) <= index < len(data):
+            self._listing = None
+            data = self._data_listing()
+        return data[index]
+
     def __len__(self):
         if self._selection is not None:
             return len(self._selection)
@@ -127,12 +139,11 @@ class Dataset(Sequence):
     def _get_item_index(
         self, index: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        data = self._data_listing()
         while True:
             if self._selection is not None:
-                selected_sample_path = data[self._selection[index]]
+                selected_sample_path = self._listing_entry(self._selection[index])
             else:
-                selected_sample_path = data[index]
+                selected_sample_path = self._listing_entry(index)
             selected_sample = selected_sample_path.name.split("_data")[0]
             try:
                 return self._get_item_str(selected_sample)

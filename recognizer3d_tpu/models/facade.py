@@ -327,13 +327,21 @@ class Model:
     def _knn_regime_warnings(self) -> None:
         """Performance-guidance warnings (model.py:160-184), adapted to the
         on-device backends."""
+        if self.settings.knn == "kdtree":
+            logging.warning(
+                'knn="kdtree" runs the native CPU KD-tree through a host '
+                "callback INSIDE the jitted forward — 5 host round-trips "
+                "per prediction (one per encoder/decoder KNN), each a relay "
+                "RTT on remote-TPU setups. Use it as a correctness oracle; "
+                'prefer knn="naive"/"pallas"/"approximate" for latency.'
+            )
         if self.settings.n_points > 20000:
             if self.settings.knn == "naive":
                 logging.warning(
                     'knn="naive" for N > 20000 materialises large distance '
                     'tiles; consider knn="pallas" or knn="approximate".'
                 )
-        elif self.settings.knn not in ("naive", "pallas"):
+        elif self.settings.knn not in ("naive", "pallas", "kdtree"):
             logging.warning(
                 "For improved performance, it is recommended to "
                 'use knn="naive" when N < 20000.'

@@ -15,6 +15,7 @@ KD-tree path (modules.py:135-148 raises for knn="kdtree"; ours runs).
 """
 
 import ctypes
+import logging
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple
@@ -46,12 +47,20 @@ def _load() -> ctypes.CDLL:
     # library uses -march=native, so it must be built by the machine that
     # runs it, and source edits must never be masked by a stale binary.
     # If the toolchain is missing but a previously built .so exists,
-    # fall back to it rather than failing.
+    # fall back to it rather than failing — loudly, so a failed rebuild
+    # after a kdtree.cpp edit can't silently serve stale native code.
     try:
         _build_library()
-    except Exception:
+    except Exception as build_error:
         if not _LIB_PATH.exists():
             raise
+        detail = getattr(build_error, "stderr", None) or str(build_error)
+        logging.warning(
+            "native KNN rebuild failed; falling back to the existing "
+            "%s (possibly STALE relative to kdtree.cpp): %s",
+            _LIB_PATH.name,
+            str(detail).strip()[-500:],
+        )
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.knn_kdtree_batch.restype = None
     lib.knn_kdtree_batch.argtypes = [

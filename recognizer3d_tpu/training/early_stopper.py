@@ -10,6 +10,11 @@ deepcopy — an ON-DEVICE clone (one jitted copy program) rather than a host
 download: the trainer donates the live buffers into the next epoch's step,
 so a copy is required, but pulling the whole weight pytree to the host every
 improving epoch costs a relay round-trip per leaf on remote-TPU setups.
+The trade-off: the snapshot occupies HBM for the whole run (one extra full
+copy of params+batch_stats — negligible for this model family at <10 MB,
+but an unstated overhead if reused for much larger models) and is lost if
+the device wedges mid-run; ``device_get`` the snapshot lazily instead when
+either matters.
 """
 
 import logging

@@ -107,6 +107,25 @@ class TestDataset:
         np.testing.assert_array_equal(xyz_after, new_cloud)
         assert ann_after.sum() == 7
 
+    def test_same_mtime_tick_addition_visible(self, small_dataset):
+        # directory-mtime cache tokens can be too coarse: a sample added in
+        # the same mtime tick as a preceding access must still be reachable
+        # by index (the listing re-lists when an index falls out of range)
+        ds, stamps = small_dataset
+        ds_all = Dataset(ds._root_path, only_annotated=False)
+        assert len(ds_all) == 5
+        _ = ds_all[0]  # populate the listing cache
+        # simulate a coarse-timestamp filesystem: freeze the dir mtime so
+        # the cache token cannot observe the addition
+        import os
+
+        st = ds._root_path.stat()
+        new_ts = datetime(2026, 1, 1, 10, 0, 59)
+        ds_all[new_ts] = np.ones((7, 3), dtype=np.float32)
+        os.utime(ds._root_path, ns=(st.st_atime_ns, st.st_mtime_ns))
+        xyz, _, _ = ds_all[5]  # out of cached range -> forced re-list
+        assert xyz.shape == (7, 3)
+
     def test_merged_indexing_and_split(self, small_dataset, tmp_path):
         ds, _ = small_dataset
         merged = DatasetMerged([ds, ds])
