@@ -161,16 +161,21 @@ def main():
     else:
         cloud = rng.randn(150000, 3).astype(np.float32) * 0.2
     # model.predict returns numpy -> inherently synchronous end-to-end
-    # (includes host prep + transfer + RTT, the true live-loop latency)
-    predict_p50 = _median_time(lambda: model.predict(cloud), iters=10, warmup=3)
-    # the live-loop fast path: device-side threshold, bool-mask download
-    predict_mask_p50 = _median_time(
-        lambda: model.predict_mask(cloud, 0.5), iters=10, warmup=3
-    )
-    # float16 upload option: halves the dominant H2D cost per frame
+    # (includes host prep + transfer + RTT, the true live-loop latency).
+    # The live/serving surfaces (Predictor, main.py, serve.py) default to
+    # float16 uploads, so the app-config p50 is measured as they run it;
+    # the float32 (bit-exact parity, Model default) path is reported too.
     model_f16 = Model(settings, seed=0, transfer_dtype="float16")
+    predict_p50 = _median_time(
+        lambda: model_f16.predict(cloud), iters=10, warmup=3
+    )
+    # the live-loop fast path: device-side threshold, bool-mask download
     predict_mask_p50_f16 = _median_time(
         lambda: model_f16.predict_mask(cloud, 0.5), iters=10, warmup=3
+    )
+    predict_mask_p50 = predict_mask_p50_f16
+    predict_mask_p50_f32 = _median_time(
+        lambda: model.predict_mask(cloud, 0.5), iters=10, warmup=3
     )
 
     # decompose the wall latency: host prep / H2D upload / bare relay RTT
@@ -192,6 +197,15 @@ def main():
     upload_ms = (
         _median_time(
             lambda: float(touch(jax.device_put(padded))), iters=10, warmup=2
+        )
+        * 1000
+    )
+    padded16, _i16, _p16, _n16 = model_f16._prepare_full(
+        np.expand_dims(cloud, 0).astype(np.float32)
+    )
+    upload_f16_ms = (
+        _median_time(
+            lambda: float(touch(jax.device_put(padded16))), iters=10, warmup=2
         )
         * 1000
     )
@@ -227,8 +241,8 @@ def main():
 
     def live_step(c, variables, depth, key, perm, thr):
         d = (depth.astype(jnp.float32) + c * 1e-9).astype(jnp.uint16)
-        pts, mask = live.program_fn(variables, d, key, perm, thr)
-        return jnp.float32(jnp.sum(mask)) + jnp.float32(jnp.max(pts))
+        packed = live.program_fn(variables, d, key, perm, thr)
+        return jnp.float32(jnp.sum(packed.astype(jnp.float32)))
 
     live_device = _device_time(
         live_step,
@@ -338,9 +352,12 @@ def main():
         "predict_mask_p50_ms_appconfig": predict_mask_p50 * 1000,
         "predict_mask_p50_ms_appconfig_f16_upload": predict_mask_p50_f16
         * 1000,
+        "predict_mask_p50_ms_appconfig_f32_upload": predict_mask_p50_f32
+        * 1000,
         "predict_device_ms_appconfig": predict_device * 1000,
         "predict_host_prep_ms": host_prep_ms,
         "predict_upload_ms_incl_relay": upload_ms,
+        "predict_upload_ms_incl_relay_f16": upload_f16_ms,
         "relay_rtt_dispatch_ms": rtt_ms,
         "predict_non_relay_host_plus_device_ms": (
             host_prep_ms + predict_device * 1000

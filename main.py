@@ -44,6 +44,7 @@ class App:
         window.title("3D gesture capturing")
 
         self._predictor: Optional[Predictor] = None
+        self._live_predictor = None  # device-resident depth path (models/live)
         self._next_prediction_due = monotonic()
         self._capture_timestamp = datetime.now()
 
@@ -78,12 +79,20 @@ class App:
         try:
             cloud = self.camera.get()
             self.scene.live.show_cloud(cloud)
-            if (
+            predicting = (
                 self._predictor is not None
-                and monotonic() >= self._next_prediction_due
-            ):
-                mask = self._predictor.predict(cloud)
-                self.scene.prediction.show_cloud(cloud)
+                or self._live_predictor is not None
+            )
+            if predicting and monotonic() >= self._next_prediction_due:
+                depth = self.camera.last_depth
+                if self._live_predictor is not None and depth is not None:
+                    # device-resident path: upload the RAW z16 frame (8×
+                    # smaller than the dewarped cloud); dewarp → filter →
+                    # subsample → forward → upsample → mask is ONE program
+                    shown, mask = self._live_predictor.predict_depth(depth)
+                else:
+                    shown, mask = cloud, self._predictor.predict(cloud)
+                self.scene.prediction.show_cloud(shown)
                 self.scene.prediction.set_overlay("prediction", mask)
                 self._next_prediction_due = monotonic() + PREDICT_EVERY_S
         except Exception as error:
@@ -117,23 +126,40 @@ class App:
     def _toggle_predict(self, enable: bool) -> bool:
         if not enable:
             self._predictor = None
+            self._live_predictor = None
             return True
         model_name = self.controls.model_name
         if model_name == "":
             print("No model loaded yet. First train a model.")
             return False
-        self._predictor = Predictor(
-            MODELS_DIR / model_name,
-            self.controls.confidence,
-            # warm the padded-size bucket live frames actually land in
-            # (empty before the first frame -> Predictor's 30-pt minimum)
-            warmup_points=self.camera.last_cloud.shape[0],
-        )
+        intrinsics = self.camera.depth_intrinsics
+        if intrinsics is not None:
+            # the camera provides raw depth: run the fused device-resident
+            # live pipeline with the DEVICE's calibration (models/live.py;
+            # cloud-only cameras fall back to the full-cloud Predictor)
+            from recognizer3d_tpu import Model
+            from recognizer3d_tpu.models.live import LivePredictor
+
+            self._live_predictor = LivePredictor(
+                Model.load(MODELS_DIR / model_name),
+                self.controls.confidence,
+                intrinsics=intrinsics,
+            )
+        else:
+            self._predictor = Predictor(
+                MODELS_DIR / model_name,
+                self.controls.confidence,
+                # warm the padded-size bucket live frames actually land in
+                # (empty before the first frame -> Predictor's 30-pt minimum)
+                warmup_points=self.camera.last_cloud.shape[0],
+            )
         return True
 
     def _set_confidence(self, value: float) -> None:
         if self._predictor is not None:
             self._predictor.confidence_threshold = value
+        if self._live_predictor is not None:
+            self._live_predictor.confidence_threshold = value
 
     # -- shutdown ------------------------------------------------------
 

@@ -26,10 +26,15 @@ class Predictor:
         self,
         model_path: Path,
         confidence_threshold: float = 0.5,
-        transfer_dtype: str = "float32",
+        transfer_dtype: str = "float16",
         warmup_points: int = 30,
     ) -> None:
-        """:param warmup_points: size of the dummy warm-up cloud. The
+        """:param transfer_dtype: upload dtype for full clouds. The live/
+        serving surfaces default to float16 — the H2D upload is the dominant
+        wall cost per frame and f16's input quantization (~0.3 mm at the
+        L515's 0.6 m range cap) sits below the sensor's own 1-2 mm depth
+        noise (models/facade.py). Pass "float32" for bit-exact parity runs.
+        :param warmup_points: size of the dummy warm-up cloud. The
         predict program is compiled per PADDED-size bucket (facade._bucket),
         so pass a representative frame size when known — the reference's
         30-point default (predict.py:23-24) only compiles the smallest
@@ -158,10 +163,11 @@ def _cli() -> None:
     parser.add_argument(
         "--transfer-dtype",
         choices=("float32", "float16"),
-        default="float32",
-        help="Upload dtype for full clouds; float16 halves the "
-        "host-to-device bytes per frame (quantization ~0.3 mm at the "
-        "sensor's range cap, below its depth noise).",
+        default="float16",
+        help="Upload dtype for full clouds (default float16: halves the "
+        "host-to-device bytes per frame; quantization ~0.3 mm at the "
+        "sensor's range cap, below its depth noise). Use float32 for "
+        "bit-exact parity runs.",
     )
     args = parser.parse_args()
     project_dir = Path(__file__).absolute().parent

@@ -9,7 +9,10 @@ from pathlib import Path
 from typing import Optional
 
 from recognizer3d_tpu.camera.base_camera import Camera
-from recognizer3d_tpu.camera.mock_camera import MockRealsenseCamera
+from recognizer3d_tpu.camera.mock_camera import (
+    DepthReplayCamera,
+    MockRealsenseCamera,
+)
 from recognizer3d_tpu.data.dataset import Dataset
 
 #: Searched in order for the mock camera's replay frames when no
@@ -46,14 +49,27 @@ def auto_connect_camera(mock_data_path: Optional[Path] = None) -> Camera:
         if mock_data_path is not None
         else [Path(p) for p in MOCK_DATA_SEARCH_PATH if p]
     )
+    # RECOGNIZER3D_MOCK_DEPTH=1: replay stored clouds as RAW depth frames
+    # so the no-hardware app drives the device-resident depth pipeline,
+    # exactly like it would with a physical L515 attached
+    mock_cls = (
+        DepthReplayCamera
+        if os.environ.get("RECOGNIZER3D_MOCK_DEPTH", "") not in ("", "0")
+        else MockRealsenseCamera
+    )
     for path in candidates:
         dataset = Dataset(path, only_annotated=False)
         if path.is_dir() and len(dataset) > 0:
-            return MockRealsenseCamera("mock", dataset)
+            return mock_cls("mock", dataset)
     raise Exception(
         f"No mock frames found in any of {[str(c) for c in candidates]}; "
         "generate some with bin/make_mock_data or set RECOGNIZER3D_MOCK_DATA."
     )
 
 
-__all__ = ["Camera", "MockRealsenseCamera", "auto_connect_camera"]
+__all__ = [
+    "Camera",
+    "DepthReplayCamera",
+    "MockRealsenseCamera",
+    "auto_connect_camera",
+]

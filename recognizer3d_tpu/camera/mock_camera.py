@@ -29,3 +29,36 @@ class MockRealsenseCamera(Camera):
         self._cursor = (self._cursor + 1) % len(self._frames)
         self._last_cloud = cloud
         return cloud
+
+
+class DepthReplayCamera(MockRealsenseCamera):
+    """Mock camera that also replays RAW z16 DEPTH frames: each stored
+    (dewarped) cloud is re-projected through pinhole intrinsics back into a
+    depth image (``data.pipeline.cloud_to_depth`` — the inverse of the SDK
+    dewarp), so the app's device-resident depth pipeline (models/live.py,
+    driven when ``depth_intrinsics`` is not None) is exercisable and
+    benchmarkable with zero sensor hardware. Enable app-wide with
+    ``RECOGNIZER3D_MOCK_DEPTH=1`` (camera/__init__.py)."""
+
+    def __init__(self, name: str, mock_dataset: Dataset, intrinsics=None):
+        super().__init__(name, mock_dataset)
+        if intrinsics is None:
+            from recognizer3d_tpu.data.pipeline import DepthIntrinsics
+
+            intrinsics = DepthIntrinsics()
+        self._intrinsics = intrinsics
+
+    @property
+    def depth_intrinsics(self):
+        return self._intrinsics
+
+    def get(self, timeout_ms: int = 200) -> np.ndarray:
+        from recognizer3d_tpu.data.pipeline import cloud_to_depth
+
+        cloud = super().get(timeout_ms)
+        self._last_depth = cloud_to_depth(cloud, self._intrinsics)
+        return cloud
+
+    def get_depth(self, timeout_ms: int = 200) -> np.ndarray:
+        self.get(timeout_ms)
+        return self._last_depth

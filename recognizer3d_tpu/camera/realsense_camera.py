@@ -55,6 +55,7 @@ class RealsenseCamera(Camera):
         self._config = config
         self._pipeline = rs.pipeline(rs.context())
         self._profile = config.resolve(rs.pipeline_wrapper(self._pipeline))
+        self._depth_intrinsics = None
         product_line = self._profile.get_device().get_info(
             rs.camera_info.product_line
         )
@@ -82,24 +83,79 @@ class RealsenseCamera(Camera):
         self._pipeline.stop()
         super().stop()
 
+    @property
+    def depth_intrinsics(self):
+        """Calibrated pinhole intrinsics + depth scale of the live stream,
+        straight from the SDK (``rs.video_stream_profile.get_intrinsics()``)
+        — NOT the L515 catalogue defaults. Presence of this property makes
+        the app drive the device-resident depth pipeline (models/live.py)."""
+        if self._depth_intrinsics is None:
+            from recognizer3d_tpu.data.pipeline import DepthIntrinsics
+
+            rs = self._rs
+            stream = self._profile.get_stream(
+                rs.stream.depth
+            ).as_video_stream_profile()
+            intr = stream.get_intrinsics()
+            scale = (
+                self._profile.get_device()
+                .first_depth_sensor()
+                .get_depth_scale()
+            )
+            self._depth_intrinsics = DepthIntrinsics(
+                width=int(intr.width),
+                height=int(intr.height),
+                fx=float(intr.fx),
+                fy=float(intr.fy),
+                cx=float(intr.ppx),
+                cy=float(intr.ppy),
+                depth_scale=float(scale),
+            )
+        return self._depth_intrinsics
+
     def get(self, timeout_ms: int = 200) -> np.ndarray:
         """Newest point cloud, z-band filtered; raises on missing or
-        implausible frames."""
+        implausible frames. Caches the temporally-filtered raw depth frame
+        of the same capture on ``last_depth``."""
         if not self._running:
             raise Exception("Realsense pipeline is not running.")
-        ok, frames = self._pipeline.try_wait_for_frames(timeout_ms=timeout_ms)
-        if not ok:
-            raise Exception("No frame received.")
-        cloud = self._frame_to_cloud(frames.get_depth_frame())
+        depth = self._next_depth_frame(timeout_ms)
+        cloud = self._frame_to_cloud(depth)
         if not _plausible(cloud):
             raise Exception("No valid frame received.")
         self._last_cloud = cloud
+        self._last_depth = np.asanyarray(depth.get_data()).copy()
         return cloud
+
+    def get_depth(self, timeout_ms: int = 200) -> np.ndarray:
+        """Newest RAW z16 depth frame (H, W) uint16, temporally filtered —
+        the upload for the device-resident live pipeline. The plausibility
+        check runs directly on the depth values (mean nonzero z, identical
+        to the dewarped check: the SDK dewarp preserves z)."""
+        if not self._running:
+            raise Exception("Realsense pipeline is not running.")
+        frame = self._next_depth_frame(timeout_ms)
+        depth = np.asanyarray(frame.get_data()).copy()
+        nonzero = depth[depth > 0]
+        mean_z = float(nonzero.mean()) * self.depth_intrinsics.depth_scale
+        if nonzero.size == 0 or mean_z >= _MAX_PLAUSIBLE_MEAN_Z:
+            raise Exception("No valid frame received.")
+        self._last_depth = depth
+        return depth
+
+    def _next_depth_frame(self, timeout_ms: int):
+        """Wait for the next frameset; return its temporally-filtered depth
+        frame (SDK objects)."""
+        ok, frames = self._pipeline.try_wait_for_frames(timeout_ms=timeout_ms)
+        if not ok:
+            raise Exception("No frame received.")
+        depth_frame = frames.get_depth_frame()
+        if self._temporal is not None:
+            depth_frame = self._temporal.process(depth_frame)
+        return depth_frame
 
     def _frame_to_cloud(self, depth_frame) -> np.ndarray:
         """SDK dewarp to (N, 3) xyz, then keep the working z band."""
-        if self._temporal is not None:
-            depth_frame = self._temporal.process(depth_frame)
         vertices = self._dewarp.calculate(depth_frame).get_vertices()
         xyz = np.asanyarray(vertices).view(np.float32).reshape(-1, 3)
         z = xyz[:, 2]

@@ -15,6 +15,7 @@ stage runs as jit programs on the TPU:
   batch on device, so the host never touches point data during training.
 """
 
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -28,6 +29,54 @@ from recognizer3d_tpu.data.augmentation import (
 )
 
 Z_MIN, Z_MAX = 0.05, 0.6  # reference camera z band (realsense_camera.py:117)
+
+
+@dataclass
+class DepthIntrinsics:
+    """Pinhole intrinsics for a rectified depth stream. Defaults are the
+    L515's 1024×768 mode; production cameras report their calibration
+    (``RealsenseCamera.depth_intrinsics`` queries the SDK)."""
+
+    width: int = 1024
+    height: int = 768
+    fx: float = 735.0
+    fy: float = 735.0
+    cx: float = 512.0
+    cy: float = 384.0
+    depth_scale: float = 0.00025  # metres per z16 unit (L515 native)
+
+
+def depth_to_cloud(depth: jax.Array, intr: DepthIntrinsics) -> jax.Array:
+    """(H, W) z16/uint16 depth image -> (H·W, 3) float32 point cloud, on
+    device. The standard pinhole dewarp (the RealSense SDK's
+    ``rs.pointcloud().calculate`` equivalent for the rectified stream):
+    X = (u−cx)/fx·Z, Y = (v−cy)/fy·Z. Zero-depth pixels become (0, 0, 0),
+    which the z-band filter drops."""
+    z = depth.astype(jnp.float32) * intr.depth_scale
+    u = jnp.arange(intr.width, dtype=jnp.float32)[None, :]
+    v = jnp.arange(intr.height, dtype=jnp.float32)[:, None]
+    x = (u - intr.cx) / intr.fx * z
+    y = (v - intr.cy) / intr.fy * z
+    return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+
+def cloud_to_depth(cloud: np.ndarray, intr: DepthIntrinsics) -> np.ndarray:
+    """Inverse pinhole projection, host-side: (N, 3) xyz -> (H, W) z16
+    depth image, nearest point per pixel (z-buffer). Stored captures hold
+    DEWARPED clouds, not raw depth — this reconstructs a raw frame from
+    them so the device-resident depth path can be replayed/benchmarked/
+    tested with no sensor attached (mock_camera.DepthReplayCamera)."""
+    cloud = np.asarray(cloud, np.float32)
+    z = cloud[:, 2]
+    ok = z > 0
+    u = np.round(cloud[ok, 0] / z[ok] * intr.fx + intr.cx).astype(np.int64)
+    v = np.round(cloud[ok, 1] / z[ok] * intr.fy + intr.cy).astype(np.int64)
+    inb = (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
+    zbuf = np.full(intr.height * intr.width, np.inf, np.float32)
+    np.minimum.at(zbuf, v[inb] * intr.width + u[inb], z[ok][inb])
+    zbuf[~np.isfinite(zbuf)] = 0.0
+    z16 = np.round(zbuf / intr.depth_scale).clip(0, 65535).astype(np.uint16)
+    return z16.reshape(intr.height, intr.width)
 
 
 def z_filter_subsample(
@@ -116,6 +165,14 @@ class DeviceDatasetCache:
         n_max = 0
         for i in range(len(dataset)):
             xyz, _feats, lab = dataset[i]
+            if xyz.shape[0] == 0:
+                # fail loudly here: on device, a zero-point sample would
+                # silently degenerate into n_points duplicates of a
+                # zero-padded table row (origin points labelled background)
+                raise ValueError(
+                    f"dataset sample {i} has zero points; remove or re-capture "
+                    "it before training"
+                )
             clouds.append(np.asarray(xyz, dtype=np.float32))
             labels.append(np.asarray(lab, dtype=np.int32))
             n_max = max(n_max, xyz.shape[0])

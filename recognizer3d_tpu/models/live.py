@@ -10,51 +10,32 @@ jitted program does
           -> consistent model subsample -> forward -> softmax
           -> full(-sampled)-cloud 1-NN upsample -> boolean mask
 
-returning the display cloud + prediction mask (a few hundred KB back).
-This is the BASELINE.json "device-resident depth→cloud→KNN preproc" config.
-
-The dewarp is the standard pinhole model (the RealSense SDK's
-``rs.pointcloud().calculate`` equivalent for the L515's rectified depth
-stream): X = (u−cx)/fx·Z, Y = (v−cy)/fy·Z.
+returning the display cloud + prediction mask as ONE packed float16 array
+(a single device→host transfer — on remote-TPU setups every separate
+download pays a relay round-trip). This is the BASELINE.json
+"device-resident depth→cloud→KNN preproc" config; ``main.py`` drives it
+whenever the connected camera exposes raw depth
+(``Camera.depth_intrinsics``/``last_depth``).
 """
 
-from dataclasses import dataclass
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recognizer3d_tpu.data.pipeline import Z_MAX, Z_MIN, z_filter_subsample
+from recognizer3d_tpu.data.pipeline import (
+    DepthIntrinsics,
+    Z_MAX,
+    Z_MIN,
+    depth_to_cloud,
+    z_filter_subsample,
+)
 from recognizer3d_tpu.data.preprocessing import consistent_sample_indices
 from recognizer3d_tpu.ops.upsample import upsample as upsample_features
+from recognizer3d_tpu.utils.host_rng import host_threefry_keys
 
-
-@dataclass
-class DepthIntrinsics:
-    """Pinhole intrinsics for the rectified depth stream (L515 defaults for
-    the 1024×768 mode; replace with the device's calibration)."""
-
-    width: int = 1024
-    height: int = 768
-    fx: float = 735.0
-    fy: float = 735.0
-    cx: float = 512.0
-    cy: float = 384.0
-    depth_scale: float = 0.00025  # metres per z16 unit (L515 native)
-
-
-def depth_to_cloud(
-    depth: jax.Array, intr: DepthIntrinsics
-) -> jax.Array:
-    """(H, W) z16/uint16 depth image -> (H·W, 3) float32 point cloud.
-    Zero-depth pixels become (0, 0, 0), which the z-band filter drops."""
-    z = depth.astype(jnp.float32) * intr.depth_scale
-    u = jnp.arange(intr.width, dtype=jnp.float32)[None, :]
-    v = jnp.arange(intr.height, dtype=jnp.float32)[:, None]
-    x = (u - intr.cx) / intr.fx * z
-    y = (v - intr.cy) / intr.fy * z
-    return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+__all__ = ["DepthIntrinsics", "LivePredictor", "depth_to_cloud"]
 
 
 class LivePredictor:
@@ -63,6 +44,11 @@ class LivePredictor:
     ``predict_depth(depth_u16)`` -> (cloud (n_display, 3), mask (n_display,))
     where the mask is class-1 confidence > threshold (the Predictor contract,
     reference predict.py:26-31) over the device-subsampled display cloud.
+
+    Per frame, the host does exactly: one permutation draw + one threefry key
+    draw (numpy), ONE upload (the z16 frame), ONE program dispatch, ONE
+    download (the packed f16 cloud+mask — display precision; the f16
+    quantization ~0.3 mm is below the sensor's depth noise).
     """
 
     def __init__(
@@ -100,30 +86,37 @@ class LivePredictor:
                 knn_approach=settings.knn if settings.knn != "kdtree" else "naive",
             )[0]  # (n_display, C)
             mask = (conf_up[:, 1] > threshold) & valid
-            return pts, mask
+            # pack xyz + mask into one (n_display, 4) f16 array: a single
+            # D2H transfer per frame (two separate downloads = two relay
+            # round-trips); f16 is display precision, the mask is 0/1 exact
+            return jnp.concatenate(
+                [pts, mask[:, None].astype(jnp.float32)], axis=-1
+            ).astype(jnp.float16)
 
         self.program_fn = program  # un-jitted (benchmarks chain it)
         self._program = jax.jit(program)
-        self._frame_counter = 0
+        # host RNG: a device-side PRNGKey would be one extra tiny dispatch
+        # (a relay RTT) per frame; numpy-drawn uint32 pairs are valid
+        # threefry keys (utils/host_rng.py)
+        self._rng = np.random.RandomState(0)
         # warmup (jit compile — the reference's "first prediction is always
         # much slower" workaround, predict.py:22-24)
-        dummy = jnp.zeros(
-            (intrinsics.height, intrinsics.width), jnp.uint16
-        )
-        self.predict_depth(np.asarray(dummy))
+        dummy = np.zeros((intrinsics.height, intrinsics.width), np.uint16)
+        self.predict_depth(dummy)
 
     def predict_depth(self, depth: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """One live frame: (display cloud (n_display, 3), boolean mask)."""
-        self._frame_counter += 1
-        key = jax.random.PRNGKey(self._frame_counter)
+        """One live frame: (display cloud (n_display, 3) f32, boolean mask)."""
+        key = host_threefry_keys(self._rng)
         permutation = np.random.permutation(
             self._model.settings.n_points
         ).astype(np.int32)
-        pts, mask = self._program(
-            self._model.variables,
-            jnp.asarray(depth, jnp.uint16),
-            key,
-            permutation,
-            jnp.float32(self.confidence_threshold),
+        packed = np.asarray(
+            self._program(
+                self._model.variables,
+                jnp.asarray(depth, jnp.uint16),
+                key,
+                permutation,
+                jnp.float32(self.confidence_threshold),
+            )
         )
-        return np.asarray(pts), np.asarray(mask)
+        return packed[:, :3].astype(np.float32), packed[:, 3] > 0

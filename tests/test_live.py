@@ -35,6 +35,108 @@ class TestDepthToCloud:
         np.testing.assert_allclose(cloud, 0.0)
 
 
+class TestCloudToDepth:
+    def test_roundtrip_inverse_of_dewarp(self):
+        """cloud_to_depth is the inverse of the pinhole dewarp: projecting a
+        cloud to z16 and dewarping back must recover the points (within the
+        quantization of the depth scale + pixel grid)."""
+        from recognizer3d_tpu.data.pipeline import cloud_to_depth
+
+        intr = DepthIntrinsics(width=128, height=96, fx=100.0, fy=100.0,
+                               cx=64.0, cy=48.0, depth_scale=0.00025)
+        rng = np.random.RandomState(0)
+        z = rng.uniform(0.2, 0.5, 200).astype(np.float32)
+        # keep points well inside the frustum
+        x = rng.uniform(-0.25, 0.25, 200).astype(np.float32) * z
+        y = rng.uniform(-0.2, 0.2, 200).astype(np.float32) * z
+        cloud = np.stack([x, y, z], -1)
+        depth = cloud_to_depth(cloud, intr)
+        assert depth.shape == (96, 128) and depth.dtype == np.uint16
+        back = np.asarray(depth_to_cloud(jnp.asarray(depth), intr))
+        back = back[back[:, 2] > 0]
+        # points occluded by a nearer point on the same pixel lose the
+        # z-buffer (like a real depth sensor); every UNOCCLUDED point must
+        # have a reconstruction within the pixel + quantization error
+        # (z err <= scale/2; xy err <= z/f per pixel)
+        u = np.round(x / z * intr.fx + intr.cx).astype(int)
+        v = np.round(y / z * intr.fy + intr.cy).astype(int)
+        won = depth[v, u] == np.round(z / intr.depth_scale).astype(np.uint16)
+        assert won.mean() > 0.9  # collisions are rare at this density
+        d = np.sqrt(
+            ((cloud[won][:, None, :] - back[None, :, :]) ** 2).sum(-1).min(1)
+        )
+        assert d.max() < 3e-3, d.max()
+
+    def test_zbuffer_keeps_nearest(self):
+        from recognizer3d_tpu.data.pipeline import cloud_to_depth
+
+        intr = DepthIntrinsics(width=8, height=8, fx=4.0, fy=4.0, cx=4.0,
+                               cy=4.0, depth_scale=0.001)
+        # two points projecting onto the same pixel; nearer one must win
+        cloud = np.array([[0, 0, 0.4], [0, 0, 0.2]], np.float32)
+        depth = cloud_to_depth(cloud, intr)
+        assert depth[4, 4] == 200  # 0.2 m / 0.001
+
+
+class TestDepthReplayCamera:
+    def test_replay_and_live_predict(self, tmp_path):
+        from datetime import datetime
+
+        from recognizer3d_tpu.camera.mock_camera import DepthReplayCamera
+        from recognizer3d_tpu.data.dataset import Dataset
+
+        intr = DepthIntrinsics(width=64, height=48, fx=50.0, fy=50.0,
+                               cx=32.0, cy=24.0, depth_scale=0.001)
+        ds = Dataset(tmp_path / "frames", only_annotated=False)
+        rng = np.random.RandomState(0)
+        z = rng.uniform(0.2, 0.5, 300).astype(np.float32)
+        cloud = np.stack(
+            [rng.uniform(-0.2, 0.2, 300).astype(np.float32) * z,
+             rng.uniform(-0.15, 0.15, 300).astype(np.float32) * z, z], -1)
+        ds[datetime(2026, 3, 1, 9, 0, 0)] = cloud
+
+        cam = DepthReplayCamera("mock-depth", ds, intrinsics=intr)
+        cam.start()
+        assert cam.depth_intrinsics is intr
+        got = cam.get()
+        assert got.shape == (300, 3)
+        depth = cam.last_depth
+        assert depth is not None and depth.shape == (48, 64)
+        assert depth.dtype == np.uint16 and (depth > 0).any()
+
+        # the app's depth tick: LivePredictor with the CAMERA's intrinsics
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        live = LivePredictor(model, n_display=256, intrinsics=intr)
+        pts, mask = live.predict_depth(depth)
+        assert pts.shape == (256, 3) and mask.dtype == bool
+        valid = np.abs(pts).sum(-1) > 0
+        assert valid.any()
+        # replayed geometry must match the stored cloud (occluded points
+        # lose the z-buffer; unmatched display points can only come from
+        # pixel-collision artefacts, so the BULK must sit on the cloud)
+        d = np.sqrt(
+            ((pts[valid][:, None] - cloud[None]) ** 2).sum(-1).min(1)
+        )
+        assert np.median(d) < 3e-3
+        assert (d < 5e-3).mean() > 0.9, d.max()
+
+    def test_auto_connect_env_selects_depth_replay(self, tmp_path, monkeypatch):
+        from datetime import datetime
+
+        from recognizer3d_tpu.camera import (
+            DepthReplayCamera,
+            auto_connect_camera,
+        )
+        from recognizer3d_tpu.data.dataset import Dataset
+
+        ds = Dataset(tmp_path / "frames", only_annotated=False)
+        ds[datetime(2026, 3, 1, 9, 0, 0)] = np.ones((10, 3), np.float32)
+        monkeypatch.setenv("RECOGNIZER3D_MOCK_DEPTH", "1")
+        cam = auto_connect_camera(mock_data_path=tmp_path / "frames")
+        assert isinstance(cam, DepthReplayCamera)
+        assert cam.depth_intrinsics is not None
+
+
 class TestLivePredictor:
     def test_live_frame(self):
         model = Model(RandLANetSettings(**TINY), seed=0)

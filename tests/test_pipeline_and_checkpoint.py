@@ -112,6 +112,18 @@ class TestDeviceDatasetCache:
         # all real points appear (top_k keeps the full valid prefix)
         assert len(np.unique(d2.argmin(axis=1))) == 40
 
+    def test_zero_point_sample_rejected_at_build(self, tmp_path):
+        # a degenerate zero-point capture must fail loudly at cache build,
+        # not silently become n_points origin points labelled background
+        ds = Dataset(tmp_path / "zp")
+        ts = datetime(2026, 1, 2, 10, 0, 0)
+        ds[ts] = np.ones((5, 3), dtype=np.float32)
+        ds.set_annotation(ts, np.ones(5, dtype=np.uint8))
+        empty = [(np.empty((0, 3), np.float32), np.empty((0, 0), np.float32),
+                  np.empty((0,), np.int32))]
+        with pytest.raises(ValueError, match="zero points"):
+            DeviceDatasetCache(list(ds) + empty, n_points=16)
+
     def test_epoch_covers_dataset(self, tmp_path):
         ds = self._dataset(tmp_path)
         cache = DeviceDatasetCache(
