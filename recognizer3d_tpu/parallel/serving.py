@@ -118,3 +118,81 @@ class DPServing:
             self._variables, sharded, sample_idx, permutation
         )
         return np.asarray(out)[:b, :, :n_full]
+
+
+class SPServing:
+    """Full-resolution POINT-SHARDED serving of huge clouds.
+
+    :class:`DPServing` scales frames/sec; this scales POINTS per cloud:
+    each cloud's N axis is block-sharded over the mesh ring
+    (parallel/sp_model — ring-exchange KNN per LFA, GSPMD-resharded
+    decimation, ring 1-NN decoder), so clouds beyond one chip's comfort run
+    at FULL resolution — every point classified by the network directly, no
+    subsample→forward→upsample approximation (``Model.predict``'s
+    prepostprocess path). Behind ``serve.py --point-shards N``.
+
+    Clouds are padded with duplicate points (``pad_for_sharding``) to a
+    proportional-bucket multiple of the sharding granule; padded rows are
+    dropped from the output. Weights are replicated onto the mesh once at
+    construction.
+    """
+
+    def __init__(self, model, n_shards: int = -1):
+        import jax.numpy as jnp
+
+        from recognizer3d_tpu.parallel.ring_knn import point_sharded_mesh
+        from recognizer3d_tpu.parallel.sp_model import (
+            SPBackend,
+            point_sharded_model,
+        )
+
+        self._jnp = jnp
+        self._model = model
+        self.mesh = point_sharded_mesh(n_shards)
+        self._backend = SPBackend(self.mesh)
+        module = point_sharded_model(model.settings, self.mesh)
+        self._variables = jax.device_put(
+            model.variables, NamedSharding(self.mesh, P())
+        )
+
+        def _conf(variables, inputs, permutation):
+            logits = module.apply(variables, inputs, permutation, train=False)
+            return jax.nn.softmax(logits, axis=-2)
+
+        self._conf_jit = jax.jit(_conf)
+        self._rng = np.random.RandomState(0)
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.mesh.devices.size)
+
+    def _predict_one(self, cloud: np.ndarray) -> np.ndarray:
+        from recognizer3d_tpu.models.facade import _bucket
+        from recognizer3d_tpu.parallel.sp_model import pad_for_sharding
+
+        padded, n = pad_for_sharding(
+            cloud,
+            self._model.settings,
+            self.n_shards,
+            # proportional bucket so varying capture sizes reuse programs
+            n_target=_bucket(cloud.shape[0]),
+            rng=self._rng,
+        )
+        permutation = self._rng.permutation(padded.shape[0]).astype(np.int32)
+        x = self._backend.shard_inputs(self._jnp.asarray(padded[None]))
+        conf = self._conf_jit(self._variables, x, self._jnp.asarray(permutation))
+        return np.asarray(conf)[0, :, :n]
+
+    def predict(self, xyz: np.ndarray) -> np.ndarray:
+        """(C, N) or (B, C, N) full-resolution per-class confidences."""
+        xyz = np.asarray(xyz, dtype=np.float32)
+        if xyz.ndim == 2:
+            return self._predict_one(xyz)
+        return np.stack([self._predict_one(c) for c in xyz])
+
+    def predict_mask(
+        self, xyz: np.ndarray, threshold: float = 0.5
+    ) -> np.ndarray:
+        """(N,) or (B, N) bool: class-1 confidence above the threshold."""
+        conf = self.predict(xyz)
+        return conf[..., 1, :] > threshold

@@ -29,9 +29,53 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recognizer3d_tpu.parallel.ring_knn import ring_gather, ring_knn_gather
+
+
+def sharding_multiple(settings, n_shards: int) -> int:
+    """The point-count granule for SP execution: when N is a multiple of
+    ``decimation^n_layers · n_shards``, every decimation level
+    (N, N/d, …, N/d^L — models/randlanet.py level_sizes) is exact and
+    divisible by the shard count, which :meth:`SPBackend.check_level_sizes`
+    requires."""
+    return int(n_shards) * int(settings.decimation) ** settings.n_layers
+
+
+def pad_for_sharding(
+    cloud: np.ndarray,
+    settings,
+    n_shards: int,
+    n_target: int = 0,
+    rng: Optional[np.random.RandomState] = None,
+) -> Tuple[np.ndarray, int]:
+    """Pad a cloud's point axis so it runs point-sharded: up to the smallest
+    count that is a multiple of :func:`sharding_multiple`, at least
+    ``settings.min_n_points``, and at least ``n_target`` (callers pass a
+    proportional bucket to bound the number of compiled programs).
+
+    Padding rows are RANDOM DUPLICATES of real points — the host sampler's
+    padding contract (reference preprocessing.py:35-62: sampling more points
+    than exist pads with replacement), so duplicate-distance-0 neighbours
+    are already within the model's accepted input distribution.
+
+    :param cloud: (N, C) or (B, N, C), any leading batch dims.
+    :return: (padded cloud, N_original) — callers slice outputs back.
+    """
+    cloud = np.asarray(cloud)
+    n = cloud.shape[-2]
+    if n < 1:
+        raise ValueError("cannot pad an empty cloud")
+    granule = sharding_multiple(settings, n_shards)
+    target = max(n, settings.min_n_points, int(n_target))
+    target = -(-target // granule) * granule
+    if target == n:
+        return cloud, n
+    rng = rng if rng is not None else np.random.RandomState(0)
+    dup = rng.randint(0, n, target - n)
+    return np.concatenate([cloud, cloud[..., dup, :]], axis=-2), n
 
 
 @dataclass(frozen=True)

@@ -15,11 +15,14 @@ bool, device-side threshold — 32× less D2H than confidences);
 
 ``--devices N`` shards each batch over an N-chip data-parallel mesh
 (parallel/serving.py): eval frames are independent, so serving scales
-linearly with no cross-chip traffic.
+linearly with no cross-chip traffic. ``--point-shards N`` instead shards
+each CLOUD's point axis over the mesh ring (SPServing): a full-resolution
+forward — every point classified directly, no subsample/upsample — for
+clouds beyond one chip (the 1M-point regime).
 
 Usage:
     python serve.py -m models/<ts> -d data/captures -o out/ [--batch 8]
-        [--threshold 0.5] [--confidences] [--devices N]
+        [--threshold 0.5] [--confidences] [--devices N | --point-shards N]
 """
 
 import argparse
@@ -84,20 +87,34 @@ def main(argv=None):
         "1 serves single-device",
     )
     ap.add_argument(
+        "--point-shards", type=int, default=1,
+        help="shard each CLOUD's point axis over this many devices "
+        "(-1 = all): full-resolution forward via ring-KNN (no "
+        "subsample/upsample), for clouds beyond one chip; mutually "
+        "exclusive with --devices",
+    )
+    ap.add_argument(
         "--transfer-dtype", choices=("float32", "float16"),
-        default="float32",
-        help="upload dtype for full clouds; float16 halves H2D bytes "
-        "(input quantization below sensor noise)",
+        default="float16",
+        help="upload dtype for full clouds (default float16: halves H2D "
+        "bytes; input quantization below sensor noise). float32 for "
+        "bit-exact parity runs",
     )
     args = ap.parse_args(argv)
 
     from recognizer3d_tpu.models.facade import Model
 
     model = Model.load(args.model, transfer_dtype=args.transfer_dtype)
+    if args.devices != 1 and args.point_shards != 1:
+        ap.error("--devices and --point-shards are mutually exclusive")
     if args.devices != 1:
         from recognizer3d_tpu.parallel.serving import DPServing
 
         model = DPServing(model, args.devices)
+    elif args.point_shards != 1:
+        from recognizer3d_tpu.parallel.serving import SPServing
+
+        model = SPServing(model, args.point_shards)
     args.out.mkdir(parents=True, exist_ok=True)
 
     def predict_once(clouds):
@@ -142,6 +159,7 @@ def main(argv=None):
                 "clouds_per_sec": round(n_clouds / dt, 3) if dt else None,
                 "batch": args.batch,
                 "devices": args.devices,
+                "point_shards": args.point_shards,
                 "output": "confidences" if args.confidences else "mask",
             }
         )

@@ -286,6 +286,61 @@ class TestPointShardedModel:
             np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3
         )
 
+    def test_pad_for_sharding_granule(self, eight_devices):
+        """VERDICT r2 #3: arbitrary cloud sizes become SP-runnable via
+        duplicate-point padding to the sharding granule."""
+        from recognizer3d_tpu.models.settings import RandLANetSettings
+        from recognizer3d_tpu.parallel.sp_model import (
+            pad_for_sharding,
+            sharding_multiple,
+        )
+
+        s = RandLANetSettings(
+            n_classes=2, n_points=256, n_neighbors=4, decimation=2,
+            layer_sizes=[4, 8, 16, 32], knn="naive",
+        )
+        assert sharding_multiple(s, 8) == 128  # 2^4 levels × 8 shards
+        cloud = np.random.RandomState(0).rand(300, 3).astype(np.float32)
+        padded, n = pad_for_sharding(cloud, s, 8)
+        assert n == 300 and padded.shape == (384, 3)
+        # every padding row is a duplicate of a real point
+        d2 = ((padded[300:, None] - cloud[None]) ** 2).sum(-1)
+        assert d2.min(axis=1).max() == 0.0
+        # already-aligned clouds pass through untouched
+        same, n2 = pad_for_sharding(padded, s, 8)
+        assert same is padded and n2 == 384
+
+    def test_sp_serving_padded_matches_single_device(self, eight_devices):
+        """SPServing on a NON-divisible cloud must equal the single-device
+        full-resolution forward of the same padded cloud (weight-for-weight,
+        same pad + permutation draws)."""
+        from recognizer3d_tpu import Model
+        from recognizer3d_tpu.models.facade import _bucket
+        from recognizer3d_tpu.models.settings import RandLANetSettings
+        from recognizer3d_tpu.parallel.serving import SPServing
+        from recognizer3d_tpu.parallel.sp_model import pad_for_sharding
+
+        s = RandLANetSettings(
+            n_classes=2, n_points=256, n_neighbors=4, decimation=2,
+            layer_sizes=[4, 8, 16, 32], knn="naive",
+        )
+        model = Model(s, seed=0)
+        cloud = np.random.RandomState(1).rand(300, 3).astype(np.float32)
+        conf_sp = SPServing(model, 8).predict(cloud)
+        assert conf_sp.shape == (2, 300)
+        # replay SPServing's host draws (RandomState(0): pad dup indices,
+        # then the permutation) on the single-device module
+        rng = np.random.RandomState(0)
+        padded, n = pad_for_sharding(
+            cloud, s, 8, n_target=_bucket(300), rng=rng
+        )
+        perm = jnp.asarray(rng.permutation(padded.shape[0]).astype(np.int32))
+        logits = model.module.apply(
+            model.variables, jnp.asarray(padded[None]), perm, train=False
+        )
+        ref = np.asarray(jax.nn.softmax(logits, axis=-2))[0, :, :300]
+        np.testing.assert_allclose(conf_sp, ref, atol=5e-4, rtol=1e-3)
+
     def test_rejects_indivisible_levels(self, eight_devices):
         from recognizer3d_tpu.models.settings import RandLANetSettings
         from recognizer3d_tpu.parallel.sp_model import point_sharded_model
@@ -437,3 +492,15 @@ class TestDataParallelEpochFusion:
         assert np.quantile(diffs, 0.95) < 1e-4, np.quantile(diffs, 0.95)
         assert diffs.max() < 2 * lr * 1.05, diffs.max()
         assert (diffs > 1e-3).mean() < 0.02, (diffs > 1e-3).mean()
+
+
+class TestMultiHost:
+    def test_dryrun_multihost_two_processes(self):
+        """SURVEY §5.8's multi-host (DCN) claim, executed: 2 OS processes ×
+        2 virtual CPU devices form one jax.distributed mesh and run a DP
+        train step whose gradient psum crosses the process boundary. The
+        impl asserts finite + cross-process-identical losses and raises on
+        any failure."""
+        import __graft_entry__ as graft
+
+        graft.dryrun_multihost(n_processes=2, devices_per_process=2)

@@ -124,6 +124,37 @@ def test_serve_cli_devices_flag(tmp_path):
         assert np.load(f).shape == (4096,)
 
 
+def test_serve_cli_point_shards(tmp_path):
+    """serve.py --point-shards: full-resolution point-sharded serving of
+    non-divisible cloud sizes (VERDICT r2 #3)."""
+    import serve
+    from recognizer3d_tpu.models.facade import Model
+    from recognizer3d_tpu.models.settings import RandLANetSettings
+
+    captures = tmp_path / "captures"
+    captures.mkdir()
+    _make_captures(captures, [300, 300])  # 300 % 8 != 0
+
+    settings = RandLANetSettings(
+        n_classes=2, n_points=256, n_features=0, n_neighbors=4,
+        decimation=2, layer_sizes=[4, 8, 16, 32], knn="naive",
+    )
+    model_dir = tmp_path / "model"
+    Model(settings, seed=0).save(model_dir)
+
+    out = tmp_path / "out"
+    rc = serve.main(
+        ["-m", str(model_dir), "-d", str(captures), "-o", str(out),
+         "--point-shards", "8"]
+    )
+    assert rc == 0
+    masks = sorted(out.glob("*_prediction.npy"))
+    assert len(masks) == 2
+    for f in masks:
+        mask = np.load(f)
+        assert mask.dtype == np.bool_ and mask.shape == (300,)
+
+
 def test_serve_empty_dir(tmp_path, capsys):
     import serve
     from recognizer3d_tpu.models.facade import Model
