@@ -397,6 +397,61 @@ class TestKnnWindow:
         assert not calls.get("hit")
 
 
+class TestRecallTelemetry:
+    """Opt-in runtime recall logging for the approximate default
+    (RECOGNIZER3D_KNN_RECALL=1, VERDICT r2 #5)."""
+
+    def test_off_by_default(self, monkeypatch, caplog):
+        import logging
+
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.delenv("RECOGNIZER3D_KNN_RECALL", raising=False)
+        rng = np.random.RandomState(0)
+        s = jnp.asarray(rng.rand(1, 500, 3).astype(np.float32))
+        with caplog.at_level(logging.WARNING, logger="knn"):
+            knn_mod.knn(s, s, 4, "approximate")
+        assert not [r for r in caplog.records if "recall@" in r.message]
+
+    def test_logs_recall_inside_jit(self, monkeypatch, caplog):
+        import logging
+
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setenv("RECOGNIZER3D_KNN_RECALL", "1")
+        rng = np.random.RandomState(0)
+        s = jnp.asarray(rng.rand(1, 500, 3).astype(np.float32))
+        fn = jax.jit(lambda x: knn_mod.knn(x, x, 4, "approximate"))
+        with caplog.at_level(logging.WARNING, logger="knn"):
+            idx, d2 = fn(s)
+            jax.block_until_ready(d2)
+            jax.effects_barrier()
+        lines = [r.getMessage() for r in caplog.records if "recall@4" in r.getMessage()]
+        assert lines, caplog.records
+        # on this path approx_min_k is near-exact -> recall ~= 1
+        recall = float(lines[0].split("]: ")[1].split(" ")[0])
+        assert recall > 0.99, lines[0]
+
+    def test_logs_recall_on_window_path(self, monkeypatch, caplog):
+        import logging
+
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setenv("RECOGNIZER3D_KNN_RECALL", "1")
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 1000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 100_000)
+        rng = np.random.RandomState(1)
+        s = jnp.asarray(rng.rand(1, 4096, 3).astype(np.float32))
+        with caplog.at_level(logging.WARNING, logger="knn"):
+            idx, d2 = knn_mod.knn(s, s, 4, "approximate")
+            jax.block_until_ready(d2)
+            jax.effects_barrier()
+        lines = [r.getMessage() for r in caplog.records if "window" in r.getMessage()]
+        assert lines, caplog.records
+        recall = float(lines[0].split("]: ")[1].split(" ")[0])
+        assert 0.5 < recall <= 1.0, lines[0]
+
+
 class TestUpsample:
     def test_nni_copies_nearest(self):
         s = jnp.asarray([[[0.0, 0, 0], [1, 0, 0]]])
