@@ -147,6 +147,23 @@ def main():
 
     t64bf = _device_time(fwd64bf, (model64bf.variables, x64, perm64), iters=10)
 
+    # the full fast path: reference-default approximate KNN + bf16
+    # activations (both opt-outs preserved) — r3's bf16 fused-LFA variant
+    # keeps the level-0 chain fused under bf16 (ops/lfa_pallas.py)
+    model64abf = Model(
+        RandLANetSettings(
+            n_classes=2, n_features=0, knn="approximate", n_points=65536,
+            n_neighbors=32, decimation=4, compute_dtype="bfloat16",
+        ),
+        seed=0,
+    )
+
+    fwd64abf = _make_fwd(model64abf)
+
+    t64abf = _device_time(
+        fwd64abf, (model64abf.variables, x64, perm64), iters=10
+    )
+
     # ------------------------------------------------------------------
     # extras: app-config single-frame predict (mock cloud) + 8-frame batch
     # ------------------------------------------------------------------
@@ -348,6 +365,8 @@ def main():
         "forward_64k_ms_reference_default_knn": t64a * 1000,
         "clouds_per_sec_64k_reference_default_knn": 1.0 / t64a,
         "forward_64k_ms_bfloat16": t64bf * 1000,
+        "forward_64k_ms_approx_bfloat16": t64abf * 1000,
+        "clouds_per_sec_64k_approx_bfloat16": 1.0 / t64abf,
         "predict_p50_ms_appconfig": predict_p50 * 1000,
         "predict_mask_p50_ms_appconfig": predict_mask_p50 * 1000,
         "predict_mask_p50_ms_appconfig_f16_upload": predict_mask_p50_f16

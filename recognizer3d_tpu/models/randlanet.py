@@ -451,8 +451,13 @@ class LocalFeatureAggregation(nn.Module):
             sp1, op1 = pool1.mlp.bn_affine()
             w2, b2 = rpe2_mlp.dense_wb()
             s2, o2 = rpe2_mlp.bn_affine()
+            # The kernel's I/O (and its MXU dots) run in the activation
+            # dtype: under bfloat16 that halves the (N, K·C) HBM traffic
+            # and runs single-pass bf16 MXU dots, exactly like the unfused
+            # flax path (which casts params to the activation dtype); the
+            # RPE sum, BN affines and softmax stay f32 inside the kernel.
             pooled1, rpe2_flat = lfa_pallas.lfa_round1_fused(
-                gathered.astype(jnp.float32),
+                gathered.astype(jnp.dtype(dt)),
                 d2,
                 rpe_mlp.center_projection(xyz),
                 rpe_mlp.conv.kernel[9],

@@ -57,12 +57,15 @@ def supports(k: int, half: int, dtype: str) -> bool:
     small enough that XLA's lane padding dominates (half == 8 is the only
     sub-lane level with the default layer sizes), K a power of two (the
     roll-reduce), lanes K·2h a 128-multiple, and the kron'd score matrix
-    within VMEM budget. float32 only: the kernel computes in f32, so in
-    bfloat16 mode it would silently give up the bf16 chain's speed (and
-    diverge numerically from the unfused bf16 path it must match)."""
+    within VMEM budget. dtype float32 or bfloat16: under bfloat16 the
+    kernel keeps its I/O and the block-diagonal MXU dots in bf16 (single
+    MXU pass, matching the unfused flax path which casts params to the
+    activation dtype) while the RPE linearisation, BN affines and the
+    softmax still run in f32 — strictly tighter numerics than the unfused
+    bf16 chain, whose softmax is bf16 end to end."""
     lanes = k * 2 * half
     return (
-        dtype == "float32"
+        dtype in ("float32", "bfloat16")
         and half == 8
         and k >= 8
         and (k & (k - 1)) == 0
@@ -119,7 +122,10 @@ def _round1_kernel(
 ):
     c2 = 2 * h
     L = k * c2
-    g = g_ref[0]  # (QB, L) gathered [support-proj | feats] per neighbour
+    # (QB, L) gathered [support-proj | feats] per neighbour; under bfloat16
+    # the block arrives bf16 (half the HBM traffic) and the elementwise RPE
+    # linearisation + BN affine below still run in f32.
+    g = g_ref[0].astype(jnp.float32)
     centerb = jnp.dot(
         c_ref[0], e_ref[...], preferred_element_type=jnp.float32
     )  # (QB, L) center-term broadcast over K (rpe lanes only)
@@ -133,12 +139,19 @@ def _round1_kernel(
     pre = g + centerb + distb
     rpe = jnp.maximum(pre * s1_ref[...] + o1_ref[...], 0.0)
     cat = jnp.where(is_rpe, rpe, g)
-    scores = jnp.dot(cat, bd_ref[...], preferred_element_type=jnp.float32)
-    w = _softmax_over_k(scores, c2, k, interpret)
-    pooled = jnp.dot(w * cat, sp_ref[...], preferred_element_type=jnp.float32)
-    out1_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0)
-    r2 = jnp.dot(cat, bd2_ref[...], preferred_element_type=jnp.float32)
-    rpe2_ref[0] = jnp.maximum(r2 + o2_ref[...], 0.0)
+    # The block-diagonal dots run in the constants' dtype (bf16 = one MXU
+    # pass vs ~6 f32 passes) with f32 accumulation via preferred_element_type.
+    catd = cat.astype(bd_ref.dtype)
+    scores = jnp.dot(catd, bd_ref[...], preferred_element_type=jnp.float32)
+    w = _softmax_over_k(scores, c2, k, interpret)  # f32 softmax
+    pooled = jnp.dot(
+        (w * cat).astype(sp_ref.dtype),
+        sp_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    out1_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0).astype(out1_ref.dtype)
+    r2 = jnp.dot(catd, bd2_ref[...], preferred_element_type=jnp.float32)
+    rpe2_ref[0] = jnp.maximum(r2 + o2_ref[...], 0.0).astype(rpe2_ref.dtype)
 
 
 def _pool2_kernel(
@@ -156,13 +169,20 @@ def _pool2_kernel(
     interpret: bool,
 ):
     c2 = 2 * h
+    # e1/e2 are exact 0/1 placement matrices, so the interleave dots are
+    # exact in either dtype; accumulation is f32 via preferred_element_type.
     cat = jnp.dot(
         r2_ref[0], e1_ref[...], preferred_element_type=jnp.float32
     ) + jnp.dot(g2_ref[0], e2_ref[...], preferred_element_type=jnp.float32)
-    scores = jnp.dot(cat, bd_ref[...], preferred_element_type=jnp.float32)
-    w = _softmax_over_k(scores, c2, k, interpret)
-    pooled = jnp.dot(w * cat, sp_ref[...], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0)
+    catd = cat.astype(bd_ref.dtype)
+    scores = jnp.dot(catd, bd_ref[...], preferred_element_type=jnp.float32)
+    w = _softmax_over_k(scores, c2, k, interpret)  # f32 softmax
+    pooled = jnp.dot(
+        (w * cat).astype(sp_ref.dtype),
+        sp_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0).astype(out_ref.dtype)
 
 
 def _pad_rows(x: jax.Array, qb: int) -> jax.Array:
@@ -209,13 +229,16 @@ def lfa_round1_fused(
     :param ws: pool1 score kernel (2h, 2h); wp/bp pool1 MLP (2h, h)/(h,);
         sp/op its BN affine (h,).
     :param w2/b2: mlp_rpe2 Dense (h, h)/(h,); s2/o2 its BN affine (h,).
-    :return: (pooled1 (B, N, h), rpe2 (B, N, K·h)) — both post-BN-relu.
+    :return: (pooled1 (B, N, h), rpe2 (B, N, K·h)) — both post-BN-relu,
+        in ``gathered``'s dtype (float32 or bfloat16 — the bf16 variant
+        keeps I/O and the MXU dots bf16 with f32 accumulation/softmax).
     """
     B, n, k, c2 = gathered.shape
     h = c2 // 2
     L = k * c2
     f32 = jnp.float32
-    g = _pad_rows(gathered.reshape(B, n, L).astype(f32), _QB)
+    io = jnp.bfloat16 if gathered.dtype == jnp.bfloat16 else f32
+    g = _pad_rows(gathered.reshape(B, n, L).astype(io), _QB)
     d2p = _pad_rows(d2.astype(f32), _QB)
     ct = _pad_rows(center_term.astype(f32), _QB)
     n_pad = g.shape[1]
@@ -225,12 +248,12 @@ def lfa_round1_fused(
     pad_h = lambda a: jnp.pad(a, ((0, 0), (0, h)))  # (h, h) -> (h, 2h)
     e_mat = jnp.kron(ones_row, pad_h(jnp.eye(h, dtype=f32)))  # (h, L)
     dm = jnp.kron(eye_k, pad_h(w9.astype(f32)[None, :]))  # (K, L)
-    bd = jnp.kron(eye_k, ws.astype(f32))  # (L, L)
+    bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)  # (L, L)
     w2s = w2.astype(f32) * s2.astype(f32)[None, :]
-    bd2 = jnp.kron(eye_k, jnp.pad(w2s, ((0, h), (0, 0))))  # (L, K·h)
+    bd2 = jnp.kron(eye_k, jnp.pad(w2s, ((0, h), (0, 0)))).astype(io)  # (L, K·h)
     sp_mat = jnp.kron(
         jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
-    )  # (L, h)
+    ).astype(io)  # (L, h)
     s1v = jnp.tile(jnp.concatenate([s1.astype(f32), jnp.ones(h, f32)]), k)[None]
     o1v = jnp.tile(
         jnp.concatenate([s1.astype(f32) * b1.astype(f32) + o1.astype(f32),
@@ -263,8 +286,8 @@ def lfa_round1_fused(
         ],
         out_specs=[row_spec(h), row_spec(k * h)],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_pad, h), f32),
-            jax.ShapeDtypeStruct((B, n_pad, k * h), f32),
+            jax.ShapeDtypeStruct((B, n_pad, h), io),
+            jax.ShapeDtypeStruct((B, n_pad, k * h), io),
         ],
         interpret=interpret,
     )(g, ct, d2p, e_mat, dm, bd, bd2, sp_mat, s1v, o1v, o2v, opv)
@@ -290,7 +313,7 @@ def attentive_pool2_fused(
     :param g2: (B, N, K, h) gathered pooled-feature rows (flattened OK).
     :param ws: pool2 score kernel (2h, 2h); wp/bp pool2 MLP (2h, 2h)/(2h,);
         sp/op its BN affine (2h,).
-    :return: (B, N, 2h) pooled output (post-BN-relu).
+    :return: (B, N, 2h) pooled output (post-BN-relu), in ``rpe2``'s dtype.
     """
     B, n = rpe2.shape[:2]
     kh = rpe2.shape[-1] if rpe2.ndim == 3 else rpe2.shape[-2] * rpe2.shape[-1]
@@ -298,18 +321,19 @@ def attentive_pool2_fused(
     c2 = 2 * h
     L = k * c2
     f32 = jnp.float32
-    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(f32), _QB)
-    g2f = _pad_rows(g2.reshape(B, n, kh).astype(f32), _QB)
+    io = jnp.bfloat16 if rpe2.dtype == jnp.bfloat16 else f32
+    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(io), _QB)
+    g2f = _pad_rows(g2.reshape(B, n, kh).astype(io), _QB)
     n_pad = r2.shape[1]
 
     eye_k = jnp.eye(k, dtype=f32)
     eye_h = jnp.eye(h, dtype=f32)
-    e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h))))  # (K·h, L)
-    e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0))))  # (K·h, L)
-    bd = jnp.kron(eye_k, ws.astype(f32))  # (L, L)
+    e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h)))).astype(io)  # (K·h, L)
+    e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0)))).astype(io)  # (K·h, L)
+    bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)  # (L, L)
     sp_mat = jnp.kron(
         jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
-    )  # (L, 2h)
+    ).astype(io)  # (L, 2h)
     opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
 
     grid = (B, n_pad // _QB)
@@ -329,7 +353,7 @@ def attentive_pool2_fused(
             _const_spec((1, c2)),
         ],
         out_specs=row_spec(c2),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, c2), f32),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, c2), io),
         interpret=interpret,
     )(r2, g2f, e1, e2, bd, sp_mat, opv)
     return out[:, :n]

@@ -30,9 +30,10 @@ def _random_cloud(b=1, n=512, seed=0):
 
 def test_supports_gate():
     assert lfa_pallas.supports(32, 8, "float32")
-    assert not lfa_pallas.supports(32, 8, "bfloat16")
+    assert lfa_pallas.supports(32, 8, "bfloat16")
     assert not lfa_pallas.supports(32, 32, "float32")  # later levels
     assert not lfa_pallas.supports(24, 8, "float32")  # K not a power of 2
+    assert not lfa_pallas.supports(32, 8, "float16")  # f16 not a model dtype
     assert lfa_pallas.supports(16, 8, "float32")
 
 
@@ -100,6 +101,44 @@ def test_full_model_fused_matches_unfused(force_fused):
     )
 
 
+def test_lfa_block_fused_bf16(force_fused):
+    """bfloat16 variant: the fused kernel keeps I/O + MXU dots in bf16 but
+    runs the RPE linearisation, BN affines and softmax in f32 — so it must
+    (a) track the unfused bf16 path to bf16 resolution and (b) sit at least
+    as close to the f32 ground truth as the unfused bf16 path does."""
+    xyz = _random_cloud(2, 384)
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, 384, 8).astype(np.float32))
+    block32 = rl.LocalFeatureAggregation(16, 32, "naive")
+    variables = block32.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+    stats = jax.tree.map(
+        lambda v: v + 0.1 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        if v.ndim
+        else v,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    block16 = rl.LocalFeatureAggregation(16, 32, "naive", dtype="bfloat16")
+
+    fused16 = block16.apply(variables, xyz, feats, train=False)
+    assert fused16.dtype == jnp.bfloat16
+    rl.FORCE_FUSED_LFA_INTERPRET = False
+    unfused16 = block16.apply(variables, xyz, feats, train=False)
+    truth = np.asarray(
+        block32.apply(variables, xyz, feats, train=False), np.float64
+    )
+    f16 = np.asarray(fused16, np.float64)
+    u16 = np.asarray(unfused16, np.float64)
+    # (a) bf16-resolution agreement with the unfused bf16 path
+    scale = np.maximum(np.abs(truth), 1.0)
+    assert np.max(np.abs(f16 - u16) / scale) < 0.08
+    # (b) no less accurate than the unfused bf16 path (bf16 has ~0.4% eps;
+    # allow a small slack for error cancellation luck)
+    err_fused = np.mean(np.abs(f16 - truth))
+    err_unfused = np.mean(np.abs(u16 - truth))
+    assert err_fused <= err_unfused * 1.1 + 1e-4
+
+
 @pytest.mark.tpu
 def test_lfa_fused_compiled_matches_unfused():
     """Compiled Mosaic kernels on the real TPU (R3D_TPU_TESTS=1 -m tpu).
@@ -127,3 +166,28 @@ def test_lfa_fused_compiled_matches_unfused():
     f, u = np.asarray(fused), np.asarray(unfused)
     np.testing.assert_allclose(f, u, rtol=3e-3, atol=3e-3)
     assert np.mean(np.abs(f - u)) < 1e-4
+
+
+@pytest.mark.tpu
+def test_lfa_fused_bf16_compiled():
+    """Compiled bf16 Mosaic kernels on the real TPU: bf16 I/O + bf16 MXU
+    dots with f32 accumulation must stay within bf16 resolution of the
+    unfused bf16 path (both quantize activations to ~0.4%)."""
+    xyz = _random_cloud(1, 4096)
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(1, 4096, 8).astype(np.float32))
+    block = rl.LocalFeatureAggregation(16, 32, "naive", dtype="bfloat16")
+    variables = block.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+    fused = block.apply(variables, xyz, feats, train=False)  # TPU: fused
+    assert fused.dtype == jnp.bfloat16
+    try:
+        prev = rl._fused_lfa_available
+        rl._fused_lfa_available = lambda: False
+        unfused = block.apply(variables, xyz, feats, train=False)
+    finally:
+        rl._fused_lfa_available = prev
+    f = np.asarray(fused, dtype=np.float32)
+    u = np.asarray(unfused, dtype=np.float32)
+    scale = np.maximum(np.abs(u), 1.0)
+    assert np.max(np.abs(f - u) / scale) < 0.08
+    assert np.mean(np.abs(f - u)) < 5e-3
