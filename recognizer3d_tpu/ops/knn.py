@@ -376,8 +376,14 @@ def knn_window(
 _NAIVE_MAX_MN = 64_000_000  # M*N elements of the full distance matrix
 
 # above this support size, "approximate" switches from full-distance
-# approx_min_k to the Morton-window search (the FAISS-IVF analogue)
-_WINDOW_MIN_SUPPORT = 32_768
+# approx_min_k to the Morton-window search (the FAISS-IVF analogue).
+# Priced at the in-model decimation sizes (benchmarks/
+# ablate_approx_routing.py, v5e): at 16,384² self-KNN the window is
+# 1.25 ms vs approx_min_k's 3.54 with 0.979 mean recall on the
+# reference's real L515 captures (BETTER than the 0.961 the 64k level
+# ships at — the 4096-pt window covers 25% of a 16k cloud vs 6% of 64k);
+# at 4,096² both are <0.1 ms, so the threshold sits between the two.
+_WINDOW_MIN_SUPPORT = 12_288
 
 #: queries re-searched exactly per approximate call when runtime recall
 #: telemetry is on (RECOGNIZER3D_KNN_RECALL=1)
@@ -482,6 +488,18 @@ def knn(
             return knn_tiled(support, query, k)
         return knn_naive(support, query, k)
     elif approach == "approximate":
+        if k == 1 and support.shape[1] <= 32768:
+            # "approximate" permits an exact answer, and for 1-NN below
+            # the window threshold's old regime the exact streaming-argmin
+            # kernel strictly beats the (M, N) full-distance approx_min_k
+            # this branch used to run (decoder-shaped 16k support × 64k
+            # queries: 1.9 ms exact vs 9.3 ms approx_min_k —
+            # benchmarks/ablate_approx_routing.py). Free accuracy. Past
+            # 32k support the window k=1 (O(M·window), support-size-
+            # independent) keeps winning — e.g. the 1M path's 262k×1M
+            # upsample, where the exact pruned kernel costs 341 ms — so
+            # fall through to the window exactly as before.
+            return knn(support, query, 1, "naive")
         if (
             support.shape[1] > _WINDOW_MIN_SUPPORT
             and support.shape[1] * query.shape[1] > _NAIVE_MAX_MN
@@ -563,6 +581,12 @@ def knn_presorted(
         from recognizer3d_tpu.ops.knn_pallas import knn_pallas_presorted
 
         return knn_pallas_presorted(support, query, k)
+    elif approach == "approximate" and k == 1 and support.shape[1] <= 32768:
+        # same free-accuracy routing as :func:`knn`: below 32k support the
+        # exact presorted 1-NN strictly beats the full-distance
+        # approx_min_k this branch used to run (ablate_approx_routing.py);
+        # past it the window keeps winning, exactly as before
+        return knn_presorted(support, query, 1, "naive")
     elif (
         approach == "approximate"
         and support.shape[1] > _WINDOW_MIN_SUPPORT

@@ -375,6 +375,40 @@ class TestKnnWindow:
         knn_mod.knn(s, q, 4, "approximate")
         assert calls.get("hit")
 
+    def test_dispatch_approximate_1nn_is_exact(self, monkeypatch):
+        """approach='approximate' at k=1 routes to the exact 1-NN kernels
+        (free accuracy: they beat a full-distance approx_min_k at every
+        decoder shape — benchmarks/ablate_approx_routing.py)."""
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        calls = {}
+        orig = knn_mod.knn_approximate
+
+        def spy(*a, **kw):
+            calls["approx"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(knn_mod, "knn_approximate", spy)
+        rng = np.random.RandomState(7)
+        s = jnp.asarray(rng.rand(1, 3000, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 500, 3).astype(np.float32))
+        idx, d2 = knn_mod.knn(s, q, 1, "approximate")
+        assert not calls.get("approx")
+        ei, ed2 = knn_mod.knn_naive(s, q, 1)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ei))
+
+        order = morton_order(s)
+        s_sorted = jnp.take_along_axis(s, order[..., None], axis=1)
+        qo = morton_order(q)
+        q_sorted = jnp.take_along_axis(q, qo[..., None], axis=1)
+        pi, pd2 = knn_mod.knn_presorted(s_sorted, q_sorted, 1, "approximate")
+        assert not calls.get("approx")
+        np.testing.assert_allclose(
+            np.sort(np.asarray(pd2)[0, :, 0]),
+            np.sort(np.asarray(ed2)[0, :, 0]),
+            atol=1e-6,
+        )
+
     def test_dispatch_small_query_avoids_window(self, monkeypatch):
         """Big support + tiny query must NOT use the window search (its
         proportional curve mapping breaks when M << N, collapsing recall);
