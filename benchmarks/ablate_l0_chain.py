@@ -189,6 +189,11 @@ def main():
     # precomputed neighbors/d2) — what the block costs beyond the search
     # ------------------------------------------------------------------
     def chain(c, f_in, x, nb, dd, o, i2):
+        # perturb x too so the support/center projections (and their d2
+        # consumers) stay inside the timed loop — loop-invariant operands
+        # would let XLA hoist those matmuls out of the fori_loop and
+        # under-bill the chain (r3 advisor finding).
+        x = x + c * 1e-12
         f_s = rl._sort_rows(f_in + c * jnp.asarray(1e-12, f_in.dtype), o)
         feats = mlp1.apply(v1, f_s, train=False)
         sup = rpe_mlp.apply(vr, x, method=rpe_mlp.support_projection)

@@ -35,6 +35,14 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     K = 32
     rng = np.random.RandomState(0)
+    # the inline win_variant below deliberately skips knn_window's
+    # ceil-divide padding / center clamp, so it is only equivalent to the
+    # shipped kernel at sizes divisible by qb*g for every variant swept
+    # here (qb up to 1024, g up to N//qb).
+    assert N % 8192 == 0, (
+        f"N={N} must be a multiple of 8192 (= max qb 1024 x min g 8 swept "
+        "here); the inline variant has no padding path"
+    )
 
     def t(name, make_fn, *args, iters=10, reps=3):
         dt = min(_device_time(make_fn, args, iters=iters) for _ in range(reps))
@@ -137,7 +145,7 @@ def main():
     t("  g 64 (2 groups)", probe(lambda x: win_variant(x, g=64)), xs)
     t(
         "  one group (no lax.map)",
-        probe(lambda x: win_variant(x, g=128 if N == 65536 else 16)),
+        probe(lambda x: win_variant(x, g=N // 512)),
         xs,
     )
     # recall target
