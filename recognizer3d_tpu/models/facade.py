@@ -347,6 +347,46 @@ class Model:
                 'use knn="naive" when N < 20000.'
             )
 
+    #: warn when the sampled approximate-KNN recall@k on the evaluation
+    #: data drops below this (the shipped routing's measured envelope on
+    #: the reference's real captures is 0.961-0.979 — RESULTS.md)
+    KNN_RECALL_WARN_THRESHOLD = 0.9
+
+    def _check_knn_recall(self, dataset) -> None:
+        """Opt-out sampled recall check on the first evaluation cloud when
+        ``knn="approximate"`` (VERDICT r3 #6): a routing regression in the
+        window search would otherwise surface only as silent accuracy
+        loss. Disable with RECOGNIZER3D_KNN_RECALL=0. Cost: one extra
+        approximate + 256-query exact search at n_points, once per
+        ``evaluate`` call."""
+        if self.settings.knn != "approximate":
+            return
+        if os.environ.get("RECOGNIZER3D_KNN_RECALL", "") == "0":
+            return
+        try:
+            xyz = np.asarray(dataset[0][0], np.float32)
+        except Exception:  # empty dataset / exotic sequence: nothing to check
+            return
+        n = self.settings.n_points
+        if len(xyz) == 0:
+            return
+        idx = consistent_sample_indices(len(xyz), n)
+        cloud = jnp.asarray(xyz[idx][None])
+        from recognizer3d_tpu.ops.knn import measure_recall
+
+        recall = measure_recall(
+            cloud, cloud, self.settings.n_neighbors, "approximate"
+        )
+        if recall < self.KNN_RECALL_WARN_THRESHOLD:
+            logging.warning(
+                "approximate-KNN sampled recall@%d on the evaluation data "
+                "is %.3f (< %.2f) — the Morton-window routing may be "
+                "mismatched to this distribution; consider knn=\"naive\" "
+                "or \"pallas\" for this evaluation.",
+                self.settings.n_neighbors, recall,
+                self.KNN_RECALL_WARN_THRESHOLD,
+            )
+
     def _prepare_full(self, inputs: np.ndarray):
         """Host prep shared by the full-cloud predict paths: cached
         consistent-sample indices, the per-call random permutation
@@ -529,6 +569,7 @@ class Model:
         """Run the 10-seed evaluation protocol (model.py:301-336)."""
         from recognizer3d_tpu.training.trainer import Trainer
 
+        self._check_knn_recall(dataset)
         dataloader = get_data_loader(
             dataset,
             self.settings.n_points,

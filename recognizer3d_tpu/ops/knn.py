@@ -394,6 +394,39 @@ def _recall_telemetry_enabled() -> bool:
     return os.environ.get("RECOGNIZER3D_KNN_RECALL", "") not in ("", "0")
 
 
+def sampled_recall(support, query, k, result):
+    """Traced recall@k of an (idx, d2) KNN result vs an exact re-search of
+    ``min(_RECALL_SAMPLES, M)`` evenly spaced queries (touching every query
+    block / Morton window). Distance-rank based — a returned neighbour
+    counts as a hit when its distance ranks within the exact top-k — so
+    it is robust to equidistant-tie index permutations. Shared by the
+    runtime telemetry below, ``measure_recall`` (bench.py's
+    ``knn_window_recall_64k``), and the ``Model.evaluate`` sampled check."""
+    _, d2 = result
+    m = query.shape[1]
+    s = min(_RECALL_SAMPLES, m)
+    pos = jnp.linspace(0, m - 1, s).astype(jnp.int32)
+    q_sub = jnp.take(query, pos, axis=1)
+    if support.shape[1] * s > _NAIVE_MAX_MN:
+        _, exact_d2 = knn_tiled(support, q_sub, k)
+    else:
+        _, exact_d2 = knn_naive(support, q_sub, k)
+    approx_d2 = jnp.take(d2, pos, axis=1)
+    kth = exact_d2[..., k - 1 : k]
+    hits = approx_d2 <= kth * (1.0 + 1e-5) + 1e-12
+    return jnp.mean(hits.astype(jnp.float32))
+
+
+def measure_recall(
+    support: jax.Array, query: jax.Array, k: int, approach: str = "approximate"
+) -> float:
+    """Run ``knn(approach)`` and return its measured sampled recall@k as a
+    Python float — the offline/bench entry point for the recall telemetry
+    (VERDICT r3 #6: every BENCH_r*.json carries a measured recall)."""
+    result = knn(support, query, k, approach)
+    return float(sampled_recall(support, query, k, result))
+
+
 def _with_recall_telemetry(support, query, k, result, tag):
     """Opt-in runtime honesty check for the approximate default
     (RECOGNIZER3D_KNN_RECALL=1 — VERDICT r2 #5): re-search an evenly spaced
@@ -405,23 +438,9 @@ def _with_recall_telemetry(support, query, k, result, tag):
     Cost when on: one extra O(S·N) exact search per approximate call
     (S=256) plus a host callback per dispatch. Zero cost when off (the env
     check happens at trace time)."""
-    idx, d2 = result
+    recall = sampled_recall(support, query, k, result)
     m = query.shape[1]
     s = min(_RECALL_SAMPLES, m)
-    # evenly spaced positions touch every query block / Morton window
-    pos = jnp.linspace(0, m - 1, s).astype(jnp.int32)
-    q_sub = jnp.take(query, pos, axis=1)
-    if support.shape[1] * s > _NAIVE_MAX_MN:
-        _, exact_d2 = knn_tiled(support, q_sub, k)
-    else:
-        _, exact_d2 = knn_naive(support, q_sub, k)
-    approx_d2 = jnp.take(d2, pos, axis=1)
-    # a returned neighbour counts as a hit when its distance ranks within
-    # the exact top-k (distance-based: robust to equidistant-tie index
-    # permutations)
-    kth = exact_d2[..., k - 1 : k]
-    hits = approx_d2 <= kth * (1.0 + 1e-5) + 1e-12
-    recall = jnp.mean(hits.astype(jnp.float32))
 
     def _log(r):
         logging.getLogger("knn").warning(

@@ -516,3 +516,25 @@ class TestUpsample:
         feats = jnp.asarray(np.random.randn(1, 5, 3).astype(np.float32))
         out = upsample(feats, None, None, approach="none")
         np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
+
+
+class TestMeasureRecall:
+    """Public recall measurement entry (ops/knn.measure_recall) — feeds
+    bench.py's knn_window_recall_64k and Model.evaluate's sampled check
+    (VERDICT r3 #6)."""
+
+    def test_exact_approach_recall_is_one(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        rng = np.random.RandomState(0)
+        s = jnp.asarray(rng.rand(1, 400, 3).astype(np.float32))
+        assert knn_mod.measure_recall(s, s, 4, "naive") == pytest.approx(1.0)
+
+    def test_approximate_small_support_near_exact(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        rng = np.random.RandomState(1)
+        s = jnp.asarray(rng.rand(1, 600, 3).astype(np.float32))
+        # below _WINDOW_MIN_SUPPORT the approximate path is full-distance
+        # approx_min_k -> near-perfect recall
+        assert knn_mod.measure_recall(s, s, 4, "approximate") > 0.99

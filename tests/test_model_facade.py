@@ -376,3 +376,65 @@ class TestFusedRPEMLP:
         np.testing.assert_allclose(
             np.asarray(fused), ref, atol=1e-5, rtol=1e-4
         )
+
+
+class TestEvaluateRecallCheck:
+    """Model.evaluate's opt-out sampled recall check when
+    knn="approximate" (VERDICT r3 #6)."""
+
+    APPROX = {**TINY, "knn": "approximate"}
+
+    def test_warns_when_recall_low(self, tiny_dataset, monkeypatch, caplog):
+        import logging
+
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.delenv("RECOGNIZER3D_KNN_RECALL", raising=False)
+        monkeypatch.setattr(
+            knn_mod, "measure_recall", lambda *a, **k: 0.5
+        )
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        with caplog.at_level(logging.WARNING):
+            model.evaluate(tiny_dataset, class_names=["bg", "fg"],
+                           batch_size=3)
+        assert any(
+            "recall" in r.getMessage() and "0.500" in r.getMessage()
+            for r in caplog.records
+        ), [r.getMessage() for r in caplog.records]
+
+    def test_no_warning_when_recall_fine(self, tiny_dataset, caplog):
+        import logging
+
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        with caplog.at_level(logging.WARNING):
+            model.evaluate(tiny_dataset, class_names=["bg", "fg"],
+                           batch_size=3)
+        assert not any(
+            "recall" in r.getMessage() for r in caplog.records
+        )
+
+    def test_opt_out_env_skips_check(self, tiny_dataset, monkeypatch):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        called = {}
+        monkeypatch.setenv("RECOGNIZER3D_KNN_RECALL", "0")
+        monkeypatch.setattr(
+            knn_mod, "measure_recall",
+            lambda *a, **k: called.setdefault("hit", True) or 1.0,
+        )
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        model.evaluate(tiny_dataset, class_names=["bg", "fg"], batch_size=3)
+        assert "hit" not in called
+
+    def test_exact_knn_skips_check(self, tiny_dataset, monkeypatch):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        called = {}
+        monkeypatch.delenv("RECOGNIZER3D_KNN_RECALL", raising=False)
+        monkeypatch.setattr(
+            knn_mod, "measure_recall",
+            lambda *a, **k: called.setdefault("hit", True) or 1.0,
+        )
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        model.evaluate(tiny_dataset, class_names=["bg", "fg"], batch_size=3)
+        assert "hit" not in called
