@@ -53,6 +53,11 @@ class App:
         self.scene.canvas.native.pack(
             side=tk.TOP, anchor="nw", fill=tk.BOTH, expand=True
         )
+        # ControlBar's constructor refreshes the sample counter, which
+        # calls back into _dataset() before the assignment below lands —
+        # _dataset guards on this None (bug caught by the headless UI
+        # suite, tests/test_ui_headless.py)
+        self.controls: Optional[ControlBar] = None
         self.controls = ControlBar(
             frame,
             AppActions(
@@ -105,7 +110,8 @@ class App:
     # -- capture & annotation ------------------------------------------
 
     def _dataset(self) -> Dataset:
-        return Dataset(DATA_DIR / self.controls.dataset_name)
+        name = "" if self.controls is None else self.controls.dataset_name
+        return Dataset(DATA_DIR / name)
 
     def _capture(self) -> None:
         cloud = self.camera.last_cloud
