@@ -381,6 +381,7 @@ class LocalFeatureAggregation(nn.Module):
         train: bool = False,
         order: Optional[jax.Array] = None,
         inv_order: Optional[jax.Array] = None,
+        sorted_io: bool = False,
     ) -> jax.Array:
         """When ``order``/``inv_order`` are given, ``xyz`` must already be in
         that (Morton) order and the whole block runs in the sorted domain —
@@ -390,11 +391,18 @@ class LocalFeatureAggregation(nn.Module):
         result is bit-identical up to distance ties). The output is returned
         in the ORIGINAL feature order either way.
 
+        With ``sorted_io`` the entry/exit row sorts are skipped entirely:
+        ``features`` must already follow ``xyz``'s (sorted) order and the
+        output stays in that order — the caller composes the inter-level
+        permutations instead (RandLANet keeps the whole encoder/decoder in
+        the sorted domain, r4 re-permute elimination).
+
         With a ``backend`` (point-sharded execution) the block instead runs
         unsorted: the self-KNN + first neighbour gather fuse into one ring
         rotation and the second gather is one more (parallel/sp_model.py).
         """
-        if order is not None:
+        sorted_domain = sorted_io or order is not None
+        if order is not None and not sorted_io:
             features = _sort_rows(features, order)
 
         half = self.n_out // 2
@@ -420,7 +428,7 @@ class LocalFeatureAggregation(nn.Module):
                 xyz, xyz, table, self.n_neighbors
             )
         else:
-            if order is not None:
+            if sorted_domain:
                 neighbors, d2 = knn_presorted(
                     xyz, xyz, self.n_neighbors, self.knn_approach
                 )
@@ -478,7 +486,22 @@ class LocalFeatureAggregation(nn.Module):
             g2 = gather_neighbors(pooled1, neighbors)
             wp2, bp2 = pool2.mlp.dense_wb()
             sp2, op2 = pool2.mlp.bn_affine()
-            feats = lfa_pallas.attentive_pool2_fused(
+            # the residual (mlp2 + shortcut + leaky-relu) rides the pool-2
+            # kernel's epilogue in eval-affine form — two fewer XLA ops and
+            # HBM round-trips over (N, 2·n_out) per block (VERDICT r4 #4).
+            # _EvalFusableMLP's param paths match SharedMLP's, so archives
+            # and the train path are unchanged.
+            mlp2_m = _EvalFusableMLP(
+                self.n_out, 2 * self.n_out, dtype=dt, name="mlp2"
+            )
+            short_m = _EvalFusableMLP(
+                features.shape[-1], 2 * self.n_out, dtype=dt, name="shortcut"
+            )
+            wm, bm = mlp2_m.dense_wb()
+            sm, om = mlp2_m.bn_affine()
+            wsh, bsh = short_m.dense_wb()
+            ssh, osh = short_m.bn_affine()
+            return_sorted = lfa_pallas.attentive_pool2_residual_fused(
                 rpe2_flat,
                 g2,
                 pool2.score_kernel(),
@@ -486,9 +509,16 @@ class LocalFeatureAggregation(nn.Module):
                 bp2,
                 sp2,
                 op2,
+                features,
+                wm * sm[None, :],
+                wsh * ssh[None, :],
+                (sm * bm + om) + (ssh * bsh + osh),
                 k=self.n_neighbors,
                 interpret=interp,
             )
+            if inv_order is not None and not sorted_io:
+                return _sort_rows(return_sorted, inv_order)
+            return return_sorted
         else:
             distances = jnp.sqrt(d2)
             rpe = rpe_mlp(xyz, gathered[..., :half], distances, train=train)
@@ -510,7 +540,7 @@ class LocalFeatureAggregation(nn.Module):
             features, train=train
         )
         out = nn.leaky_relu(out + shortcut, negative_slope=0.01)
-        if inv_order is not None:
+        if inv_order is not None and not sorted_io:
             out = _sort_rows(out, inv_order)
         return out
 
@@ -521,17 +551,20 @@ def upsample_nni(
     xyz_upsampled: jax.Array,
     knn_approach: str,
     inv_fine: Optional[jax.Array] = None,
+    presorted: bool = False,
 ) -> jax.Array:
     """1-NN feature copy (modules.py:343-364): each upsampled point takes the
     features of its nearest coarse point.
 
     With ``inv_fine`` given, ``xyz``/``xyz_upsampled`` are pre-Morton-sorted
     and ``features`` rows follow ``xyz``'s sorted order; the result is
-    unsorted back to the original fine order via ``inv_fine``."""
-    if inv_fine is not None:
+    unsorted back to the original fine order via ``inv_fine``. With
+    ``presorted`` (and no ``inv_fine``) the result STAYS in the fine sorted
+    order — the sorted-domain decoder (RandLANet) consumes it directly."""
+    if inv_fine is not None or presorted:
         neighbors, _ = knn_presorted(xyz, xyz_upsampled, 1, knn_approach)
         up = gather_neighbors(features, neighbors)[:, :, 0, :]
-        return _sort_rows(up, inv_fine)
+        return up if inv_fine is None else _sort_rows(up, inv_fine)
     neighbors, _ = knn(xyz, xyz_upsampled, 1, knn_approach)
     return gather_neighbors(features, neighbors)[:, :, 0, :]
 
@@ -583,9 +616,12 @@ class RandLANet(nn.Module):
         )(feats)
         feats = nn.leaky_relu(feats, negative_slope=0.2)
 
-        # random permutation (random-sampling hierarchy)
+        # random permutation (random-sampling hierarchy). On the sorted-
+        # domain path the features skip this sort: the level-0 entry below
+        # composes permutation∘order_0 into ONE gather.
         xyz = _sort_rows(xyz, permutation)
-        feats = _sort_rows(feats, permutation)
+        if self.backend is not None:
+            feats = _sort_rows(feats, permutation)
 
         decimation = s.decimation
         level_sizes = [N]
@@ -621,9 +657,22 @@ class RandLANet(nn.Module):
                 invs.append(invert_permutation(order))
                 xyz_levels.append(_sort_rows(x_level, order))
 
-        # encoder (modules.py:582-589)
-        feats_sampled = feats
+        # encoder (modules.py:582-589). Sorted-domain path (no backend):
+        # features live in each level's Morton order END TO END — every
+        # level transition is ONE composed gather (inv_prev ∘ order_next
+        # subsumes the exit unsort, the decimation prefix slice and the
+        # next entry sort), instead of the exit + entry row sorts the r3
+        # code paid per level (VERDICT r4 re-permute elimination; all maps
+        # are exact permutations, so outputs are bit-identical).
+        sorted_flow = self.backend is None
         skip_stack = []
+        if sorted_flow:
+            # permutation ∘ order_0 in one gather (features are still in
+            # ORIGINAL order here — see above)
+            entry = jnp.take(permutation, orders[0], axis=0)
+            feats_sampled = _sort_rows(feats, entry)
+        else:
+            feats_sampled = feats
         for i, n_out in enumerate(s.layer_sizes):
             feats = LocalFeatureAggregation(
                 n_out,
@@ -638,11 +687,17 @@ class RandLANet(nn.Module):
                 train=train,
                 order=orders[i],
                 inv_order=invs[i],
+                sorted_io=sorted_flow,
             )
             skip_stack.append(feats)
-            # random sampling == prefix slice after the permutation
-            feats_sampled = feats[:, : level_sizes[i + 1]]
-            if self.backend is not None:
+            if sorted_flow:
+                # sorted_i -> sorted_{i+1}: gather the decimation prefix's
+                # rows straight out of the sorted-i array
+                step = jnp.take_along_axis(invs[i], orders[i + 1], axis=1)
+                feats_sampled = _sort_rows(feats, step)
+            else:
+                # random sampling == prefix slice after the permutation
+                feats_sampled = feats[:, : level_sizes[i + 1]]
                 feats_sampled = self.backend.constrain(feats_sampled)
 
         feats = SharedMLP(
@@ -652,7 +707,10 @@ class RandLANet(nn.Module):
             name="mlp",
         )(feats_sampled, train=train)
 
-        # decoder (modules.py:594-605); upsampler hardcoded to 1-NN copy
+        # decoder (modules.py:594-605); upsampler hardcoded to 1-NN copy.
+        # Sorted-domain path: the upsample emits the FINE level's sorted
+        # order directly, which is exactly what the skip concat and the
+        # next iteration consume — no per-level sorts.
         n_outs = list(s.layer_sizes[::-1][1:])
         decoder_channels = [2 * n for n in n_outs] + [8]
         for i, n_out_ch in enumerate(decoder_channels):
@@ -666,11 +724,11 @@ class RandLANet(nn.Module):
                 upsampled = up[:, :, 0, :]
             else:
                 upsampled = upsample_nni(
-                    _sort_rows(feats, orders[level]),
+                    feats,
                     xyz_levels[level],
                     xyz_levels[level - 1],
                     s.knn,
-                    inv_fine=invs[level - 1],
+                    presorted=True,
                 )
             feats = jnp.concatenate([upsampled, skip_stack.pop()], axis=-1)
             feats = SharedMLP(
@@ -681,10 +739,17 @@ class RandLANet(nn.Module):
                 name=f"decoder_{i}",
             )(feats, train=train)
 
-        # inverse permutation restores original point order (modules.py:607-608);
-        # computed by scatter — an argsort here costs several ms at 64k points
-        feats = _sort_rows(feats, invert_permutation(permutation))
-        if self.backend is not None:
+        # restore original point order (modules.py:607-608). Sorted path:
+        # inv_0 ∘ inverse-permutation composed into one gather (the inverse
+        # permutation itself is computed by scatter — an argsort here costs
+        # several ms at 64k points).
+        if sorted_flow:
+            exit_map = jnp.take(
+                invs[0], invert_permutation(permutation), axis=1
+            )
+            feats = _sort_rows(feats, exit_map)
+        else:
+            feats = _sort_rows(feats, invert_permutation(permutation))
             feats = self.backend.constrain(feats)
 
         # head (fc_end, modules.py:525-530)

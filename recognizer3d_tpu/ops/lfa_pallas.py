@@ -185,6 +185,57 @@ def _pool2_kernel(
     out_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0).astype(out_ref.dtype)
 
 
+def _pool2_res_kernel(
+    r2_ref,
+    g2_ref,
+    fs_ref,
+    e1_ref,
+    e2_ref,
+    bd_ref,
+    sp_ref,
+    op_ref,
+    wm_ref,
+    wsh_ref,
+    off_ref,
+    out_ref,
+    *,
+    h: int,
+    k: int,
+    interpret: bool,
+):
+    """_pool2_kernel + the block residual absorbed (VERDICT r4 #4): the
+    pooled output feeds mlp2's eval-affine Dense, the block INPUT rows
+    (fs) feed the shortcut's, and the leaky-relu of the sum leaves the
+    kernel — mlp2/shortcut stop existing as separate HBM round-trips."""
+    c2 = 2 * h
+    cat = jnp.dot(
+        r2_ref[0], e1_ref[...], preferred_element_type=jnp.float32
+    ) + jnp.dot(g2_ref[0], e2_ref[...], preferred_element_type=jnp.float32)
+    catd = cat.astype(bd_ref.dtype)
+    scores = jnp.dot(catd, bd_ref[...], preferred_element_type=jnp.float32)
+    w = _softmax_over_k(scores, c2, k, interpret)  # f32 softmax
+    pooled = jnp.dot(
+        (w * cat).astype(sp_ref.dtype),
+        sp_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    pooled = jnp.maximum(pooled + op_ref[...], 0.0)
+    res = (
+        jnp.dot(
+            pooled.astype(wm_ref.dtype),
+            wm_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.dot(
+            fs_ref[0].astype(wsh_ref.dtype),
+            wsh_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        + off_ref[...]
+    )
+    out_ref[0] = jnp.where(res > 0.0, res, 0.01 * res).astype(out_ref.dtype)
+
+
 def _pad_rows(x: jax.Array, qb: int) -> jax.Array:
     n = x.shape[1]
     pad = (-n) % qb
@@ -356,4 +407,83 @@ def attentive_pool2_fused(
         out_shape=jax.ShapeDtypeStruct((B, n_pad, c2), io),
         interpret=interpret,
     )(r2, g2f, e1, e2, bd, sp_mat, opv)
+    return out[:, :n]
+
+
+def attentive_pool2_residual_fused(
+    rpe2: jax.Array,
+    g2: jax.Array,
+    ws: jax.Array,
+    wp: jax.Array,
+    bp: jax.Array,
+    sp: jax.Array,
+    op: jax.Array,
+    f_in: jax.Array,
+    wm: jax.Array,
+    wsh: jax.Array,
+    off: jax.Array,
+    k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`attentive_pool2_fused` with the block residual absorbed:
+    returns ``leaky_relu(mlp2(pool2(...)) + shortcut(f_in), 0.01)`` —
+    the LFA block's final output — in one kernel.
+
+    :param f_in: (B, N, F) the block's INPUT feature rows (sorted order).
+    :param wm: mlp2 eval-affine matrix ``W·s`` (2h, 4h).
+    :param wsh: shortcut eval-affine matrix ``W·s`` (F, 4h).
+    :param off: combined offset ``(s_m·b_m + o_m) + (s_sh·b_sh + o_sh)``
+        (4h,).
+    """
+    B, n = rpe2.shape[:2]
+    kh = rpe2.shape[-1] if rpe2.ndim == 3 else rpe2.shape[-2] * rpe2.shape[-1]
+    h = kh // k
+    c2 = 2 * h
+    n2 = wm.shape[-1]
+    L = k * c2
+    f32 = jnp.float32
+    io = jnp.bfloat16 if rpe2.dtype == jnp.bfloat16 else f32
+    nf = f_in.shape[-1]
+    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(io), _QB)
+    g2f = _pad_rows(g2.reshape(B, n, kh).astype(io), _QB)
+    fs = _pad_rows(f_in.astype(io), _QB)
+    n_pad = r2.shape[1]
+
+    eye_k = jnp.eye(k, dtype=f32)
+    eye_h = jnp.eye(h, dtype=f32)
+    e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h)))).astype(io)
+    e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0)))).astype(io)
+    bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)
+    sp_mat = jnp.kron(
+        jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
+    ).astype(io)
+    opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
+    wm_c = wm.astype(f32).astype(io)
+    wsh_c = wsh.astype(f32).astype(io)
+    off_c = off.astype(f32)[None]
+
+    grid = (B, n_pad // _QB)
+    row_spec = lambda width: pl.BlockSpec(
+        (1, _QB, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_pool2_res_kernel, h=h, k=k, interpret=interpret),
+        grid=grid,
+        in_specs=[
+            row_spec(kh),
+            row_spec(kh),
+            row_spec(nf),
+            _const_spec((kh, L)),
+            _const_spec((kh, L)),
+            _const_spec((L, L)),
+            _const_spec((L, c2)),
+            _const_spec((1, c2)),
+            _const_spec((c2, n2)),
+            _const_spec((nf, n2)),
+            _const_spec((1, n2)),
+        ],
+        out_specs=row_spec(n2),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, n2), io),
+        interpret=interpret,
+    )(r2, g2f, fs, e1, e2, bd, sp_mat, opv, wm_c, wsh_c, off_c)
     return out[:, :n]
