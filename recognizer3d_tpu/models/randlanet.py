@@ -619,8 +619,14 @@ class RandLANet(nn.Module):
         # random permutation (random-sampling hierarchy). On the sorted-
         # domain path the features skip this sort: the level-0 entry below
         # composes permutation∘order_0 into ONE gather.
+        # RECOGNIZER3D_SORTED_FLOW=0 re-enables the r3 per-level-sort flow
+        # (A/B pricing hook, benchmarks/ablate_sorted_flow.py).
+        sorted_flow = (
+            self.backend is None
+            and os.environ.get("RECOGNIZER3D_SORTED_FLOW", "1") != "0"
+        )
         xyz = _sort_rows(xyz, permutation)
-        if self.backend is not None:
+        if not sorted_flow:
             feats = _sort_rows(feats, permutation)
 
         decimation = s.decimation
@@ -664,7 +670,6 @@ class RandLANet(nn.Module):
         # next entry sort), instead of the exit + entry row sorts the r3
         # code paid per level (VERDICT r4 re-permute elimination; all maps
         # are exact permutations, so outputs are bit-identical).
-        sorted_flow = self.backend is None
         skip_stack = []
         if sorted_flow:
             # permutation ∘ order_0 in one gather (features are still in
@@ -698,7 +703,8 @@ class RandLANet(nn.Module):
             else:
                 # random sampling == prefix slice after the permutation
                 feats_sampled = feats[:, : level_sizes[i + 1]]
-                feats_sampled = self.backend.constrain(feats_sampled)
+                if self.backend is not None:
+                    feats_sampled = self.backend.constrain(feats_sampled)
 
         feats = SharedMLP(
             feats_sampled.shape[-1],
@@ -722,13 +728,21 @@ class RandLANet(nn.Module):
                     xyz_levels[level], xyz_levels[level - 1], feats, 1
                 )
                 upsampled = up[:, :, 0, :]
-            else:
+            elif sorted_flow:
                 upsampled = upsample_nni(
                     feats,
                     xyz_levels[level],
                     xyz_levels[level - 1],
                     s.knn,
                     presorted=True,
+                )
+            else:
+                upsampled = upsample_nni(
+                    _sort_rows(feats, orders[level]),
+                    xyz_levels[level],
+                    xyz_levels[level - 1],
+                    s.knn,
+                    inv_fine=invs[level - 1],
                 )
             feats = jnp.concatenate([upsampled, skip_stack.pop()], axis=-1)
             feats = SharedMLP(
@@ -750,7 +764,8 @@ class RandLANet(nn.Module):
             feats = _sort_rows(feats, exit_map)
         else:
             feats = _sort_rows(feats, invert_permutation(permutation))
-            feats = self.backend.constrain(feats)
+            if self.backend is not None:
+                feats = self.backend.constrain(feats)
 
         # head (fc_end, modules.py:525-530)
         feats = SharedMLP(
