@@ -114,39 +114,42 @@ def _wall_metric(fn, rtt_fn, iters=30, warmup=3, win=10, max_resamples=2):
     return out
 
 
-def _device_time(make_fn, args, iters=10):
-    """True device time per call: run ``iters`` chained iterations inside ONE
-    jitted program (each iteration's input is perturbed by the carry so
-    nothing is CSE'd away), one dispatch + one readback. The fixed dispatch/
-    readback overhead is measured with a trivial loop and subtracted — this
-    is what a production host driving the chip directly would see.
-    """
+def _device_time(make_fn, args, iters=10, reps=3):
+    """True device time per call: chained iterations inside ONE jitted
+    program (each iteration's input perturbed by the carry so nothing is
+    CSE'd away). Dispatch/readback overhead is cancelled by the TWO-POINT
+    method (same loop at ``iters`` and ``2·iters``, min over reps,
+    difference / iters) — the r3 subtract-a-trivial-loop form
+    over-subtracted whenever relay RTT drifted between baseline and
+    measurement (see benchmarks/_timing.py). This is what a production
+    host driving the chip directly would see."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def loop(*args):
-        def body(i, c):
-            return make_fn(c, *args)
+    def make_loop(n):
+        @jax.jit
+        def loop(*args):
+            def body(i, c):
+                return make_fn(c, *args)
 
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    @jax.jit
-    def loop0(x):
-        def body(i, c):
-            return c + x
+        return loop
 
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    loop1 = make_loop(iters)
+    loop2 = make_loop(2 * iters)
+    float(loop1(*args))  # compile + warm
+    float(loop2(*args))
 
-    float(loop(*args))  # compile + warm
-    float(loop0(jnp.float32(1.0)))
-    t0 = time.perf_counter()
-    float(loop0(jnp.float32(1.0)))
-    overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return max((time.perf_counter() - t0 - overhead) / iters, 1e-9)
+    def once(loop):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        return time.perf_counter() - t0
+
+    t1 = min(once(loop1) for _ in range(reps))
+    t2 = min(once(loop2) for _ in range(reps))
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def main():

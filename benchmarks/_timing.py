@@ -2,10 +2,19 @@
 
 Through the axon TPU relay a single dispatch+readback costs ~40-80 ms wall
 and ``block_until_ready`` does not reliably wait, so per-call timing is
-meaningless. ``device_time`` chains ``iters`` iterations inside ONE jitted
-program (each iteration's input perturbed by the carry so nothing is CSE'd
-away), forces a host readback, and subtracts the measured dispatch/readback
-overhead — what a production host driving the chip directly would see.
+meaningless. ``device_time`` chains iterations inside ONE jitted program
+(each iteration's input perturbed by the carry so nothing is CSE'd away)
+and forces a host readback.
+
+The dispatch/readback overhead is cancelled with a TWO-POINT measurement:
+the same chained loop compiled at ``iters`` and ``2·iters``, timed
+repeatedly interleaved, per-iteration time = (t_2N − t_N) / iters taken
+over the MINIMUM of each. The r3 approach (subtracting a separately-timed
+trivial loop) over-subtracted whenever the relay RTT drifted between the
+baseline probe and the measurement — an RTT spike during the baseline
+made sub-ms stages read as 0.00 ms (r4 finding; the two-point form uses
+the same program/transport for both points, so RTT noise cancels in the
+difference and the min-over-reps rejects spikes).
 """
 
 import sys
@@ -15,32 +24,33 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def device_time(make_fn, args, iters=10):
-    """Median-free single-shot device time per call of ``make_fn(c, *args)``
-    (the fn must fold its result into the returned f32 carry)."""
+def device_time(make_fn, args, iters=10, reps=3):
+    """Device time per call of ``make_fn(c, *args)`` (the fn must fold its
+    result into the returned f32 carry)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def loop(*args):
-        def body(i, c):
-            return make_fn(c, *args)
+    def make_loop(n):
+        @jax.jit
+        def loop(*args):
+            def body(i, c):
+                return make_fn(c, *args)
 
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    @jax.jit
-    def loop0(x):
-        def body(i, c):
-            return c + x
+        return loop
 
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    loop1 = make_loop(iters)
+    loop2 = make_loop(2 * iters)
+    float(loop1(*args))  # compile + warm
+    float(loop2(*args))
 
-    float(loop(*args))  # compile + warm
-    float(loop0(jnp.float32(1.0)))
-    t0 = time.perf_counter()
-    float(loop0(jnp.float32(1.0)))
-    overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return max((time.perf_counter() - t0 - overhead) / iters, 1e-9)
+    def once(loop):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        return time.perf_counter() - t0
+
+    t1 = min(once(loop1) for _ in range(reps))
+    t2 = min(once(loop2) for _ in range(reps))
+    return max((t2 - t1) / iters, 1e-9)
