@@ -264,10 +264,20 @@ def knn_window(
     window_points: int = 4096,
     query_block: int = 512,
     block_group: int = 16,
-    recall_target: float = 0.95,
+    recall_target: float = 0.9,
     presorted: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Morton-window approximate KNN — the TPU-native analogue of the
+
+    .. note:: ``recall_target`` default dropped 0.95 → 0.9 in r4:
+       ``approx_min_k``'s internal reduction at target 0.95 cost 16.8 ms
+       at the 64k L0 shape vs 6.0 ms at 0.9 (benchmarks/RESULTS.md
+       "Window-KNN selection sweep"), and the ACHIEVED recall on the
+       reference's real captures stays within the validated envelope
+       (re-measured in benchmarks/real_cloud_validation.json; the target
+       is a conservative bound on approx_min_k's in-window recall, which
+       the end metric — prediction IoU vs exact — gates).
+
     reference's FAISS IVF-Flat search (knn.py:58-117: cluster the support,
     probe the nprobe=2 nearest cells). Here the "cells" are windows of the
     Morton space-filling curve: both clouds are Morton-sorted, each block of
