@@ -42,6 +42,7 @@ def main():
         model_path, n_points=n, knn="approximate", compute_dtype="bfloat16"
     )
     ious, pos_frac = [], []
+    clouds = [c for c in clouds if len(c) >= n]  # one capture is 41k < 64k
     for cloud in clouds:
         sub = cloud[np.random.RandomState(0).choice(len(cloud), n, False)]
         pred_32 = m32.predict(sub, prepostprocess=False).argmax(0)
