@@ -52,25 +52,36 @@ from jax.experimental.pallas import tpu as pltpu
 _QB = 256  # query rows per program
 
 
+#: above this lane count the kron'd (L, L) score matrix leaves the VMEM
+#: budget; the kernels switch to 128-aligned GROUPED block-diagonal dots
+#: (r4 — this is what admits the second encoder level, half = 32)
+_MAX_FULL_BD_LANES = 1024
+#: smaller query block at the wide-lane levels keeps the live (QB, L)
+#: f32 temporaries inside VMEM
+_QB_WIDE = 128
+
+
 def supports(k: int, half: int, dtype: str) -> bool:
-    """The fused path covers the first encoder level's geometry: C = 2·half
-    small enough that XLA's lane padding dominates (half == 8 is the only
-    sub-lane level with the default layer sizes), K a power of two (the
-    roll-reduce), lanes K·2h a 128-multiple, and the kron'd score matrix
-    within VMEM budget. dtype float32 or bfloat16: under bfloat16 the
-    kernel keeps its I/O and the block-diagonal MXU dots in bf16 (single
-    MXU pass, matching the unfused flax path which casts params to the
-    activation dtype) while the RPE linearisation, BN affines and the
-    softmax still run in f32 — strictly tighter numerics than the unfused
-    bf16 chain, whose softmax is bf16 end to end."""
+    """The fused path covers encoder levels whose per-neighbour channel
+    width pays a lane-padding tax in XLA's (N, K, C) layout: half == 8
+    (level 0, 8× tax) and half == 32 (level 1, 2× tax — r4 grouped-dot
+    extension). K must be a power of two (the roll-reduce) and the
+    flattened lane count K·2h a 128-multiple within the grouped-dot
+    budget. dtype float32 or bfloat16: under bfloat16 the kernel keeps
+    its I/O and the block-diagonal MXU dots in bf16 (single MXU pass,
+    matching the unfused flax path which casts params to the activation
+    dtype) while the RPE linearisation, BN affines and the softmax still
+    run in f32 — strictly tighter numerics than the unfused bf16 chain,
+    whose softmax is bf16 end to end."""
     lanes = k * 2 * half
     return (
         dtype in ("float32", "bfloat16")
-        and half == 8
+        and half in (8, 32)
         and k >= 8
         and (k & (k - 1)) == 0
         and lanes % 128 == 0
-        and lanes <= 1024
+        and lanes <= 2048
+        and (half * 2) <= 128  # grouped dots need >=1 k-slot per tile
     )
 
 
@@ -98,6 +109,30 @@ def _softmax_over_k(scores: jax.Array, c: int, k: int, interpret: bool):
         z = z + _roll(z, shift, interpret)
         shift *= 2
     return e / z
+
+
+def _bd_dot(x, mat_ref):
+    """``x @ blockdiag(mat, mat, ...)`` with the block matrix held ONCE:
+    ``mat_ref`` is (gin, gout); the same block applies to every aligned
+    group of ``gin`` input lanes, outputs concatenated. gin/gout are
+    128-multiples (the k-slots are grouped so slices stay tile-aligned —
+    misaligned lane slicing would force Mosaic relayouts). Used at the
+    wide-lane levels where the full kron'd (L, L) matrix would not fit
+    VMEM; at L <= %d the full matrix is passed instead (one MXU dot).
+    """ % _MAX_FULL_BD_LANES
+    gin, gout = mat_ref.shape
+    n_groups = x.shape[1] // gin
+    if n_groups == 1:
+        return jnp.dot(x, mat_ref[...], preferred_element_type=jnp.float32)
+    pieces = [
+        jnp.dot(
+            x[:, g * gin : (g + 1) * gin],
+            mat_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        for g in range(n_groups)
+    ]
+    return jnp.concatenate(pieces, axis=1)
 
 
 def _round1_kernel(
@@ -142,7 +177,7 @@ def _round1_kernel(
     # The block-diagonal dots run in the constants' dtype (bf16 = one MXU
     # pass vs ~6 f32 passes) with f32 accumulation via preferred_element_type.
     catd = cat.astype(bd_ref.dtype)
-    scores = jnp.dot(catd, bd_ref[...], preferred_element_type=jnp.float32)
+    scores = _bd_dot(catd, bd_ref)
     w = _softmax_over_k(scores, c2, k, interpret)  # f32 softmax
     pooled = jnp.dot(
         (w * cat).astype(sp_ref.dtype),
@@ -150,7 +185,7 @@ def _round1_kernel(
         preferred_element_type=jnp.float32,
     )
     out1_ref[0] = jnp.maximum(pooled + op_ref[...], 0.0).astype(out1_ref.dtype)
-    r2 = jnp.dot(catd, bd2_ref[...], preferred_element_type=jnp.float32)
+    r2 = _bd_dot(catd, bd2_ref)
     rpe2_ref[0] = jnp.maximum(r2 + o2_ref[...], 0.0).astype(rpe2_ref.dtype)
 
 
@@ -171,11 +206,9 @@ def _pool2_kernel(
     c2 = 2 * h
     # e1/e2 are exact 0/1 placement matrices, so the interleave dots are
     # exact in either dtype; accumulation is f32 via preferred_element_type.
-    cat = jnp.dot(
-        r2_ref[0], e1_ref[...], preferred_element_type=jnp.float32
-    ) + jnp.dot(g2_ref[0], e2_ref[...], preferred_element_type=jnp.float32)
+    cat = _bd_dot(r2_ref[0], e1_ref) + _bd_dot(g2_ref[0], e2_ref)
     catd = cat.astype(bd_ref.dtype)
-    scores = jnp.dot(catd, bd_ref[...], preferred_element_type=jnp.float32)
+    scores = _bd_dot(catd, bd_ref)
     w = _softmax_over_k(scores, c2, k, interpret)  # f32 softmax
     pooled = jnp.dot(
         (w * cat).astype(sp_ref.dtype),
@@ -208,11 +241,9 @@ def _pool2_res_kernel(
     (fs) feed the shortcut's, and the leaky-relu of the sum leaves the
     kernel — mlp2/shortcut stop existing as separate HBM round-trips."""
     c2 = 2 * h
-    cat = jnp.dot(
-        r2_ref[0], e1_ref[...], preferred_element_type=jnp.float32
-    ) + jnp.dot(g2_ref[0], e2_ref[...], preferred_element_type=jnp.float32)
+    cat = _bd_dot(r2_ref[0], e1_ref) + _bd_dot(g2_ref[0], e2_ref)
     catd = cat.astype(bd_ref.dtype)
-    scores = jnp.dot(catd, bd_ref[...], preferred_element_type=jnp.float32)
+    scores = _bd_dot(catd, bd_ref)
     w = _softmax_over_k(scores, c2, k, interpret)  # f32 softmax
     pooled = jnp.dot(
         (w * cat).astype(sp_ref.dtype),
@@ -289,9 +320,10 @@ def lfa_round1_fused(
     L = k * c2
     f32 = jnp.float32
     io = jnp.bfloat16 if gathered.dtype == jnp.bfloat16 else f32
-    g = _pad_rows(gathered.reshape(B, n, L).astype(io), _QB)
-    d2p = _pad_rows(d2.astype(f32), _QB)
-    ct = _pad_rows(center_term.astype(f32), _QB)
+    qb = _QB if L <= _MAX_FULL_BD_LANES else _QB_WIDE
+    g = _pad_rows(gathered.reshape(B, n, L).astype(io), qb)
+    d2p = _pad_rows(d2.astype(f32), qb)
+    ct = _pad_rows(center_term.astype(f32), qb)
     n_pad = g.shape[1]
 
     eye_k = jnp.eye(k, dtype=f32)
@@ -299,9 +331,21 @@ def lfa_round1_fused(
     pad_h = lambda a: jnp.pad(a, ((0, 0), (0, h)))  # (h, h) -> (h, 2h)
     e_mat = jnp.kron(ones_row, pad_h(jnp.eye(h, dtype=f32)))  # (h, L)
     dm = jnp.kron(eye_k, pad_h(w9.astype(f32)[None, :]))  # (K, L)
-    bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)  # (L, L)
     w2s = w2.astype(f32) * s2.astype(f32)[None, :]
-    bd2 = jnp.kron(eye_k, jnp.pad(w2s, ((0, h), (0, 0)))).astype(io)  # (L, K·h)
+    if L <= _MAX_FULL_BD_LANES:
+        bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)  # (L, L)
+        bd2 = jnp.kron(
+            eye_k, jnp.pad(w2s, ((0, h), (0, 0)))
+        ).astype(io)  # (L, K·h)
+    else:
+        # grouped block-diagonal pieces (see _bd_dot): one VMEM-resident
+        # block applied per 128-aligned lane group inside the kernel
+        g1 = max(1, 128 // c2)
+        bd = jnp.kron(jnp.eye(g1, dtype=f32), ws.astype(f32)).astype(io)
+        g2k = max(1, 128 // h)
+        bd2 = jnp.kron(
+            jnp.eye(g2k, dtype=f32), jnp.pad(w2s, ((0, h), (0, 0)))
+        ).astype(io)
     sp_mat = jnp.kron(
         jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
     ).astype(io)  # (L, h)
@@ -314,9 +358,9 @@ def lfa_round1_fused(
     o2v = jnp.tile(s2.astype(f32) * b2.astype(f32) + o2.astype(f32), k)[None]
     opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
 
-    grid = (B, n_pad // _QB)
+    grid = (B, n_pad // qb)
     row_spec = lambda width: pl.BlockSpec(
-        (1, _QB, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, qb, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     out1, rpe2 = pl.pallas_call(
         functools.partial(_round1_kernel, h=h, k=k, interpret=interpret),
@@ -327,8 +371,8 @@ def lfa_round1_fused(
             row_spec(k),
             _const_spec((h, L)),
             _const_spec((k, L)),
-            _const_spec((L, L)),
-            _const_spec((L, k * h)),
+            _const_spec(tuple(bd.shape)),
+            _const_spec(tuple(bd2.shape)),
             _const_spec((L, h)),
             _const_spec((1, L)),
             _const_spec((1, L)),
@@ -343,6 +387,32 @@ def lfa_round1_fused(
         interpret=interpret,
     )(g, ct, d2p, e_mat, dm, bd, bd2, sp_mat, s1v, o1v, o2v, opv)
     return out1[:, :n], rpe2[:, :n]
+
+
+def _pool2_mats(k, h, ws, wp, sp, io):
+    """Interleave/score/pool matrices for the pool-2 kernels — full kron
+    versions at L <= _MAX_FULL_BD_LANES, 128-aligned grouped blocks for
+    the wide-lane levels (consumed by _bd_dot)."""
+    f32 = jnp.float32
+    c2 = 2 * h
+    L = k * c2
+    eye_h = jnp.eye(h, dtype=f32)
+    if L <= _MAX_FULL_BD_LANES:
+        eye_k = jnp.eye(k, dtype=f32)
+        e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h)))).astype(io)
+        e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0)))).astype(io)
+        bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)
+    else:
+        ge = max(1, 128 // h)
+        eg = jnp.eye(ge, dtype=f32)
+        e1 = jnp.kron(eg, jnp.pad(eye_h, ((0, 0), (0, h)))).astype(io)
+        e2 = jnp.kron(eg, jnp.pad(eye_h, ((0, 0), (h, 0)))).astype(io)
+        g1 = max(1, 128 // c2)
+        bd = jnp.kron(jnp.eye(g1, dtype=f32), ws.astype(f32)).astype(io)
+    sp_mat = jnp.kron(
+        jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
+    ).astype(io)  # (L, 2h)
+    return e1, e2, bd, sp_mat
 
 
 def attentive_pool2_fused(
@@ -373,23 +443,17 @@ def attentive_pool2_fused(
     L = k * c2
     f32 = jnp.float32
     io = jnp.bfloat16 if rpe2.dtype == jnp.bfloat16 else f32
-    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(io), _QB)
-    g2f = _pad_rows(g2.reshape(B, n, kh).astype(io), _QB)
+    qb = _QB if L <= _MAX_FULL_BD_LANES else _QB_WIDE
+    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(io), qb)
+    g2f = _pad_rows(g2.reshape(B, n, kh).astype(io), qb)
     n_pad = r2.shape[1]
 
-    eye_k = jnp.eye(k, dtype=f32)
-    eye_h = jnp.eye(h, dtype=f32)
-    e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h)))).astype(io)  # (K·h, L)
-    e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0)))).astype(io)  # (K·h, L)
-    bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)  # (L, L)
-    sp_mat = jnp.kron(
-        jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
-    ).astype(io)  # (L, 2h)
+    e1, e2, bd, sp_mat = _pool2_mats(k, h, ws, wp, sp, io)
     opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
 
-    grid = (B, n_pad // _QB)
+    grid = (B, n_pad // qb)
     row_spec = lambda width: pl.BlockSpec(
-        (1, _QB, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, qb, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_pool2_kernel, h=h, k=k, interpret=interpret),
@@ -397,9 +461,9 @@ def attentive_pool2_fused(
         in_specs=[
             row_spec(kh),
             row_spec(kh),
-            _const_spec((kh, L)),
-            _const_spec((kh, L)),
-            _const_spec((L, L)),
+            _const_spec(tuple(e1.shape)),
+            _const_spec(tuple(e2.shape)),
+            _const_spec(tuple(bd.shape)),
             _const_spec((L, c2)),
             _const_spec((1, c2)),
         ],
@@ -444,27 +508,21 @@ def attentive_pool2_residual_fused(
     f32 = jnp.float32
     io = jnp.bfloat16 if rpe2.dtype == jnp.bfloat16 else f32
     nf = f_in.shape[-1]
-    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(io), _QB)
-    g2f = _pad_rows(g2.reshape(B, n, kh).astype(io), _QB)
-    fs = _pad_rows(f_in.astype(io), _QB)
+    qb = _QB if L <= _MAX_FULL_BD_LANES else _QB_WIDE
+    r2 = _pad_rows(rpe2.reshape(B, n, kh).astype(io), qb)
+    g2f = _pad_rows(g2.reshape(B, n, kh).astype(io), qb)
+    fs = _pad_rows(f_in.astype(io), qb)
     n_pad = r2.shape[1]
 
-    eye_k = jnp.eye(k, dtype=f32)
-    eye_h = jnp.eye(h, dtype=f32)
-    e1 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (0, h)))).astype(io)
-    e2 = jnp.kron(eye_k, jnp.pad(eye_h, ((0, 0), (h, 0)))).astype(io)
-    bd = jnp.kron(eye_k, ws.astype(f32)).astype(io)
-    sp_mat = jnp.kron(
-        jnp.ones((k, 1), f32), wp.astype(f32) * sp.astype(f32)[None, :]
-    ).astype(io)
+    e1, e2, bd, sp_mat = _pool2_mats(k, h, ws, wp, sp, io)
     opv = (sp.astype(f32) * bp.astype(f32) + op.astype(f32))[None]
     wm_c = wm.astype(f32).astype(io)
     wsh_c = wsh.astype(f32).astype(io)
     off_c = off.astype(f32)[None]
 
-    grid = (B, n_pad // _QB)
+    grid = (B, n_pad // qb)
     row_spec = lambda width: pl.BlockSpec(
-        (1, _QB, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, qb, width), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_pool2_res_kernel, h=h, k=k, interpret=interpret),
@@ -473,9 +531,9 @@ def attentive_pool2_residual_fused(
             row_spec(kh),
             row_spec(kh),
             row_spec(nf),
-            _const_spec((kh, L)),
-            _const_spec((kh, L)),
-            _const_spec((L, L)),
+            _const_spec(tuple(e1.shape)),
+            _const_spec(tuple(e2.shape)),
+            _const_spec(tuple(bd.shape)),
             _const_spec((L, c2)),
             _const_spec((1, c2)),
             _const_spec((c2, n2)),

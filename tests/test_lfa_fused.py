@@ -191,3 +191,72 @@ def test_lfa_fused_bf16_compiled():
     scale = np.maximum(np.abs(u), 1.0)
     assert np.max(np.abs(f - u) / scale) < 0.08
     assert np.mean(np.abs(f - u)) < 5e-3
+
+
+def test_lfa_block_fused_wide_lane_matches_unfused(force_fused):
+    """The r4 grouped-dot extension (half = 32 -> L = 2048 lanes, the
+    second encoder level's geometry): the fused path must still be an
+    exact reformulation of the unfused one."""
+    xyz = _random_cloud(2, 384, seed=3)
+    rng = np.random.RandomState(4)
+    feats = jnp.asarray(rng.randn(2, 384, 64).astype(np.float32))
+    block = rl.LocalFeatureAggregation(64, 32, "naive")
+    variables = block.init(jax.random.PRNGKey(1), xyz, feats, train=False)
+    stats = jax.tree.map(
+        lambda v: v + 0.1 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        if v.ndim
+        else v,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    assert lfa_pallas.supports(32, 32, "float32")  # the new regime
+    fused = block.apply(variables, xyz, feats, train=False)
+    rl.FORCE_FUSED_LFA_INTERPRET = False
+    unfused = block.apply(variables, xyz, feats, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(unfused), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_lfa_block_fused_wide_lane_bf16(force_fused):
+    xyz = _random_cloud(1, 256, seed=5)
+    rng = np.random.RandomState(6)
+    feats = jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
+    block32 = rl.LocalFeatureAggregation(64, 32, "naive")
+    variables = block32.init(jax.random.PRNGKey(2), xyz, feats, train=False)
+    block16 = rl.LocalFeatureAggregation(64, 32, "naive", dtype="bfloat16")
+
+    fused16 = block16.apply(variables, xyz, feats, train=False)
+    assert fused16.dtype == jnp.bfloat16
+    rl.FORCE_FUSED_LFA_INTERPRET = False
+    unfused16 = block16.apply(variables, xyz, feats, train=False)
+    truth = np.asarray(
+        block32.apply(variables, xyz, feats, train=False), np.float64
+    )
+    scale = np.maximum(np.abs(truth), 1.0)
+    f16 = np.asarray(fused16, np.float64)
+    u16 = np.asarray(unfused16, np.float64)
+    assert np.max(np.abs(f16 - u16) / scale) < 0.08
+
+
+@pytest.mark.tpu
+def test_lfa_fused_wide_lane_compiled():
+    """Compiled wide-lane (half = 32, grouped-dot) Mosaic kernels on the
+    real TPU — the r4 second-encoder-level extension. Same tolerance
+    rationale as test_lfa_fused_compiled_matches_unfused."""
+    xyz = _random_cloud(1, 4096, seed=7)
+    rng = np.random.RandomState(8)
+    feats = jnp.asarray(rng.randn(1, 4096, 64).astype(np.float32))
+    block = rl.LocalFeatureAggregation(64, 32, "naive")
+    variables = block.init(jax.random.PRNGKey(3), xyz, feats, train=False)
+    fused = block.apply(variables, xyz, feats, train=False)  # TPU: fused
+    try:
+        prev = rl._fused_lfa_available
+        rl._fused_lfa_available = lambda: False
+        unfused = block.apply(variables, xyz, feats, train=False)
+    finally:
+        rl._fused_lfa_available = prev
+    f, u = np.asarray(fused), np.asarray(unfused)
+    np.testing.assert_allclose(f, u, rtol=3e-3, atol=3e-3)
+    assert np.mean(np.abs(f - u)) < 2e-4
