@@ -77,6 +77,7 @@ def _wall_metric(fn, rtt_fn, iters=30, warmup=3, win=10, max_resamples=2):
             pairs.append((rtt, time.perf_counter() - t))
         return pairs
 
+    win = min(win, iters)  # degenerate small-iters call: whole run = window
     pairs = batch(iters)
     for _ in range(max_resamples):
         rtts = np.array([p[0] for p in pairs])

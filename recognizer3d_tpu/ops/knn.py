@@ -268,16 +268,6 @@ def knn_window(
     presorted: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Morton-window approximate KNN — the TPU-native analogue of the
-
-    .. note:: ``recall_target`` default dropped 0.95 → 0.9 in r4:
-       ``approx_min_k``'s internal reduction at target 0.95 cost 16.8 ms
-       at the 64k L0 shape vs 6.0 ms at 0.9 (benchmarks/RESULTS.md
-       "Window-KNN selection sweep"), and the ACHIEVED recall on the
-       reference's real captures stays within the validated envelope
-       (re-measured in benchmarks/real_cloud_validation.json; the target
-       is a conservative bound on approx_min_k's in-window recall, which
-       the end metric — prediction IoU vs exact — gates).
-
     reference's FAISS IVF-Flat search (knn.py:58-117: cluster the support,
     probe the nprobe=2 nearest cells). Here the "cells" are windows of the
     Morton space-filling curve: both clouds are Morton-sorted, each block of
@@ -293,7 +283,15 @@ def knn_window(
 
     With ``presorted=True`` both inputs must already be Morton-sorted
     (``ops/knn_pallas.morton_order``); indices are then into the given
-    support order and rows stay in the given query order."""
+    support order and rows stay in the given query order.
+
+    ``recall_target`` default dropped 0.95 → 0.9 in r4: ``approx_min_k``'s
+    internal reduction at target 0.95 cost 16.8 ms at the 64k L0 shape vs
+    6.0 ms at 0.9 (RESULTS.md "window-KNN selection sweep"), while the
+    ACHIEVED recall on the reference's real captures is unchanged (0.9602
+    vs 0.961 — benchmarks/real_cloud_validation.json; the target is a
+    conservative bound on the in-window recall, and the end metric —
+    prediction IoU vs exact, 0.9829 — gates it)."""
     import numpy as np
 
     from recognizer3d_tpu.ops.knn_pallas import (

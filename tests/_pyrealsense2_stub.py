@@ -120,9 +120,6 @@ class _Device:
     def first_depth_sensor(self):
         return _Sensor(self._journal)
 
-    def query_sensors(self):
-        return [first for first in (self.first_depth_sensor(),)]
-
 
 class _Intrinsics:
     width, height = WIDTH, HEIGHT

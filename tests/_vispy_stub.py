@@ -196,6 +196,7 @@ def make_mouse_press(x, y, button=3):
 
 def install(monkeypatch):
     """Insert the stub as the importable ``vispy`` package tree."""
+    SceneCanvas.instances = []  # fresh per-install (tests read [-1])
     vispy = types.ModuleType("vispy")
     scene = types.ModuleType("vispy.scene")
     node = types.ModuleType("vispy.scene.node")
