@@ -538,3 +538,52 @@ class TestMeasureRecall:
         # below _WINDOW_MIN_SUPPORT the approximate path is full-distance
         # approx_min_k -> near-perfect recall
         assert knn_mod.measure_recall(s, s, 4, "approximate") > 0.99
+
+
+class TestWindowGradient:
+    """The reference's DEFAULT settings are knn="approximate"; above the
+    window threshold training routes d2 through knn_window, so the window
+    path must stay differentiable (dynamic_slice + approx_min_k both
+    carry JVPs). Gradient checked against the exact path on the k
+    nearest distances."""
+
+    def test_window_d2_grad_matches_exact(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        rng = np.random.RandomState(0)
+        s = jnp.asarray(rng.rand(1, 256, 3).astype(np.float32))
+
+        def loss_window(x):
+            _, d2 = knn_mod.knn_window(
+                x, x, 4, window_points=256, query_block=32, block_group=2
+            )
+            return jnp.sum(d2)
+
+        def loss_exact(x):
+            _, d2 = knn_mod.knn_naive(x, x, 4)
+            return jnp.sum(d2)
+
+        gw = jax.grad(loss_window)(s)
+        ge = jax.grad(loss_exact)(s)
+        assert bool(jnp.isfinite(gw).all())
+        # window covers the whole cloud here -> recall 1 (approx_min_k's
+        # aggregate pass is exact at this size), so gradients must agree
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(ge), rtol=1e-4, atol=1e-5
+        )
+
+    def test_window_grad_finite_with_true_windows(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        rng = np.random.RandomState(1)
+        s = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+
+        def loss(x):
+            _, d2 = knn_mod.knn_window(
+                x, x, 4, window_points=64, query_block=32, block_group=2
+            )
+            return jnp.sum(d2)
+
+        g = jax.grad(loss)(s)
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).sum()) > 0.0
