@@ -31,7 +31,9 @@ def _random_cloud(b=1, n=512, seed=0):
 def test_supports_gate():
     assert lfa_pallas.supports(32, 8, "float32")
     assert lfa_pallas.supports(32, 8, "bfloat16")
-    assert not lfa_pallas.supports(32, 32, "float32")  # later levels
+    assert lfa_pallas.supports(32, 32, "float32")  # r4 wide-lane level 1
+    assert lfa_pallas.supports(32, 32, "bfloat16")
+    assert not lfa_pallas.supports(32, 128, "float32")  # level 2: L > 2048
     assert not lfa_pallas.supports(24, 8, "float32")  # K not a power of 2
     assert not lfa_pallas.supports(32, 8, "float16")  # f16 not a model dtype
     assert lfa_pallas.supports(16, 8, "float32")
