@@ -116,41 +116,15 @@ def _wall_metric(fn, rtt_fn, iters=30, warmup=3, win=10, max_resamples=2):
 
 
 def _device_time(make_fn, args, iters=10, reps=3):
-    """True device time per call: chained iterations inside ONE jitted
-    program (each iteration's input perturbed by the carry so nothing is
-    CSE'd away). Dispatch/readback overhead is cancelled by the TWO-POINT
-    method (same loop at ``iters`` and ``2·iters``, min over reps,
-    difference / iters) — the r3 subtract-a-trivial-loop form
-    over-subtracted whenever relay RTT drifted between baseline and
-    measurement (see benchmarks/_timing.py). This is what a production
-    host driving the chip directly would see."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
+    """True device time per call — the shared two-point implementation
+    (benchmarks/_timing.py: same chained loop at ``iters`` and
+    ``2·iters``, reps interleaved, min per point, difference / iters).
+    One implementation so the bench headline and the ablation scripts
+    stay methodologically identical. This is what a production host
+    driving the chip directly would see."""
+    from benchmarks._timing import device_time
 
-    def make_loop(n):
-        @jax.jit
-        def loop(*args):
-            def body(i, c):
-                return make_fn(c, *args)
-
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        return loop
-
-    loop1 = make_loop(iters)
-    loop2 = make_loop(2 * iters)
-    float(loop1(*args))  # compile + warm
-    float(loop2(*args))
-
-    def once(loop):
-        t0 = time.perf_counter()
-        float(loop(*args))
-        return time.perf_counter() - t0
-
-    t1 = min(once(loop1) for _ in range(reps))
-    t2 = min(once(loop2) for _ in range(reps))
-    return max((t2 - t1) / iters, 1e-9)
+    return device_time(make_fn, args, iters=iters, reps=reps)
 
 
 def main():
@@ -503,8 +477,14 @@ def main():
     if baseline_available:
         ref_p50 = baseline.get("predict_p50_ms_appconfig")
         if ref_p50:
+            # headline = quiet-relay best-window; the _raw_p50 variant is
+            # the like-for-like continuation of the r1-r3 plain-p50 series
+            # (the CPU baseline was a plain p50) — compare rounds on THAT
             extras["predict_speedup_vs_cpu_torch"] = ref_p50 / (
                 predict_stats["p50_bestwin_ms"]
+            )
+            extras["predict_speedup_vs_cpu_torch_raw_p50"] = ref_p50 / (
+                predict_stats["raw_p50_ms"]
             )
             if predict_stats["fit_ok"]:
                 extras["predict_speedup_vs_cpu_torch_relay_normalized"] = (

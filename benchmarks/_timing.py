@@ -51,6 +51,10 @@ def device_time(make_fn, args, iters=10, reps=3):
         float(loop(*args))
         return time.perf_counter() - t0
 
-    t1 = min(once(loop1) for _ in range(reps))
-    t2 = min(once(loop2) for _ in range(reps))
+    # interleave the two points so sustained RTT drift hits both equally
+    # (timing all loop1 reps then all loop2 reps would re-admit the drift
+    # bias the two-point form exists to cancel)
+    samples = [(once(loop1), once(loop2)) for _ in range(reps)]
+    t1 = min(s[0] for s in samples)
+    t2 = min(s[1] for s in samples)
     return max((t2 - t1) / iters, 1e-9)

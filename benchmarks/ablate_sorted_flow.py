@@ -33,13 +33,15 @@ def main():
     x = jnp.asarray(rng.randn(1, N, 3).astype(np.float32) * 0.2)
     perm = jnp.asarray(rng.permutation(N).astype(np.int32))
 
-    def t(name, model, iters=10, reps=3):
+    def t(name, model, iters=10):
         def fwd(c, variables, x, perm):
             logits = model._forward_jit(variables, x + c * 1e-12, perm)
             return jnp.float32(jnp.max(logits))
 
         args = (model.variables, x, perm)
-        dt = min(_device_time(fwd, args, iters=iters) for _ in range(reps))
+        # device_time already min-of-reps internally — no outer reps
+        # (each call re-traces both loops; tripling it buys nothing)
+        dt = _device_time(fwd, args, iters=iters)
         print(f"{name:44s} {dt * 1000:9.2f} ms", flush=True)
         return dt
 

@@ -35,14 +35,14 @@ def main():
 
     # 1. f32-vs-bf16 prediction IoU on the real captures (64k approx config)
     clouds = [np.load(f) for f in sorted(MOCK.glob("*_data.npy"))]
-    assert clouds, "reference mock captures not found"
     n = 65536
+    clouds = [c for c in clouds if len(c) >= n]  # one capture is 41k < 64k
+    assert clouds, f"no reference captures with >= {n} points found"
     m32 = Model.load(model_path, n_points=n, knn="approximate")
     mbf = Model.load(
         model_path, n_points=n, knn="approximate", compute_dtype="bfloat16"
     )
     ious, pos_frac = [], []
-    clouds = [c for c in clouds if len(c) >= n]  # one capture is 41k < 64k
     for cloud in clouds:
         sub = cloud[np.random.RandomState(0).choice(len(cloud), n, False)]
         pred_32 = m32.predict(sub, prepostprocess=False).argmax(0)
