@@ -364,7 +364,11 @@ class Model:
         if os.environ.get("RECOGNIZER3D_KNN_RECALL", "") == "0":
             return
         try:
-            xyz = np.asarray(dataset[0][0], np.float32)
+            # the cloud row is (N, 3+F) when n_features > 0 — the model's
+            # KNN searches xyz only, so the probe must too (a probe over
+            # feature columns would mis-measure the Morton-window routing,
+            # which assumes 3-D coordinates)
+            xyz = np.asarray(dataset[0][0], np.float32)[:, :3]
         except Exception:  # empty dataset / exotic sequence: nothing to check
             return
         n = self.settings.n_points

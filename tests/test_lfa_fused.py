@@ -242,6 +242,59 @@ def test_lfa_block_fused_wide_lane_bf16(force_fused):
     assert np.max(np.abs(f16 - u16) / scale) < 0.08
 
 
+def test_lfa_block_fused_k16_half32_matches_unfused(force_fused):
+    """k = 16 with half = 32 (L = 1024 lanes): the LAST geometry that still
+    routes through the full-kron path (L == _MAX_FULL_BD_LANES), with a
+    (1024, 1024) f32 score constant near the VMEM budget. ADVICE r4: this
+    admitted-but-untested corner (n_neighbors=16 at the second encoder
+    level) must hold the same exact-reformulation parity as the k = 32
+    geometries."""
+    assert lfa_pallas.supports(16, 32, "float32")
+    assert 16 * 2 * 32 == lfa_pallas._MAX_FULL_BD_LANES  # the corner itself
+    xyz = _random_cloud(2, 384, seed=9)
+    rng = np.random.RandomState(10)
+    feats = jnp.asarray(rng.randn(2, 384, 64).astype(np.float32))
+    block = rl.LocalFeatureAggregation(64, 16, "naive")
+    variables = block.init(jax.random.PRNGKey(4), xyz, feats, train=False)
+    stats = jax.tree.map(
+        lambda v: v + 0.1 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        if v.ndim
+        else v,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    fused = block.apply(variables, xyz, feats, train=False)
+    rl.FORCE_FUSED_LFA_INTERPRET = False
+    unfused = block.apply(variables, xyz, feats, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(unfused), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.tpu
+def test_lfa_fused_k16_half32_compiled():
+    """Compiled k = 16 / half = 32 Mosaic kernels on the real TPU — proves
+    the near-VMEM-budget full-kron constants ((1024, 1024) score + two
+    (512, 1024) interleaves) actually fit and compute correctly on
+    hardware (ADVICE r4 corner)."""
+    xyz = _random_cloud(1, 4096, seed=11)
+    rng = np.random.RandomState(12)
+    feats = jnp.asarray(rng.randn(1, 4096, 64).astype(np.float32))
+    block = rl.LocalFeatureAggregation(64, 16, "naive")
+    variables = block.init(jax.random.PRNGKey(5), xyz, feats, train=False)
+    fused = block.apply(variables, xyz, feats, train=False)  # TPU: fused
+    try:
+        prev = rl._fused_lfa_available
+        rl._fused_lfa_available = lambda: False
+        unfused = block.apply(variables, xyz, feats, train=False)
+    finally:
+        rl._fused_lfa_available = prev
+    f, u = np.asarray(fused), np.asarray(unfused)
+    np.testing.assert_allclose(f, u, rtol=3e-3, atol=3e-3)
+    assert np.mean(np.abs(f - u)) < 2e-4
+
+
 @pytest.mark.tpu
 def test_lfa_fused_wide_lane_compiled():
     """Compiled wide-lane (half = 32, grouped-dot) Mosaic kernels on the

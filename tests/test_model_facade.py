@@ -438,3 +438,44 @@ class TestEvaluateRecallCheck:
         model = Model(RandLANetSettings(**TINY), seed=0)
         model.evaluate(tiny_dataset, class_names=["bg", "fg"], batch_size=3)
         assert "hit" not in called
+
+
+class TestSortedFlowHook:
+    """The RECOGNIZER3D_SORTED_FLOW=0 A/B hook (CLAUDE.md invariant: the
+    legacy r3 per-level-unsort flow must stay BIT-IDENTICAL to the default
+    sorted-domain flow). ADVICE r4: the hook was only ever checked manually
+    via benchmarks/ablate_sorted_flow.py — this pins it in the suite so the
+    dead-by-default legacy branches (incl. upsample_nni's inv_fine path)
+    cannot silently rot."""
+
+    def test_sorted_flow_off_is_bit_identical(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from recognizer3d_tpu.models import randlanet as rl
+
+        # non-trivial depth (3 levels survive 512/4^l >= min size) and a
+        # feature column so the decoder skip/upsample branches all execute
+        s = RandLANetSettings(
+            n_classes=2, n_points=512, n_features=1, n_neighbors=8,
+            decimation=4, layer_sizes=[8, 16, 32], knn="naive",
+        )
+        net = rl.RandLANet(s)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(
+            np.concatenate(
+                [rng.randn(1, 512, 3).astype(np.float32) * 0.2,
+                 rng.rand(1, 512, 1).astype(np.float32)],
+                axis=-1,
+            )
+        )
+        perm = jnp.asarray(rng.permutation(512).astype(np.int32))
+        variables = net.init(jax.random.PRNGKey(0), x, perm, train=False)
+
+        # module.apply re-traces every call, so each run reads the env
+        # fresh at trace time
+        monkeypatch.setenv("RECOGNIZER3D_SORTED_FLOW", "1")
+        logits_sorted = np.asarray(net.apply(variables, x, perm, train=False))
+        monkeypatch.setenv("RECOGNIZER3D_SORTED_FLOW", "0")
+        logits_legacy = np.asarray(net.apply(variables, x, perm, train=False))
+        np.testing.assert_array_equal(logits_sorted, logits_legacy)
