@@ -93,16 +93,23 @@ class LivePredictor:
                 [pts, mask[:, None].astype(jnp.float32)], axis=-1
             ).astype(jnp.float16)
 
+        from recognizer3d_tpu.models.facade import _GuardedJit
+
         self.program_fn = program  # un-jitted (benchmarks chain it)
-        self._program = jax.jit(program)
+        # epoch-keyed jit: retraces if the session recall guard widens the
+        # approximate-KNN window / demotes to exact (ops/knn.session_epoch)
+        self._program = _GuardedJit(program)
         # host RNG: a device-side PRNGKey would be one extra tiny dispatch
         # (a relay RTT) per frame; numpy-drawn uint32 pairs are valid
         # threefry keys (utils/host_rng.py)
         self._rng = np.random.RandomState(0)
         # warmup (jit compile — the reference's "first prediction is always
-        # much slower" workaround, predict.py:22-24)
+        # much slower" workaround, predict.py:22-24). The all-zero dummy
+        # frame must NOT feed the recall guard (degenerate geometry).
+        self._warm = False
         dummy = np.zeros((intrinsics.height, intrinsics.width), np.uint16)
         self.predict_depth(dummy)
+        self._warm = True
 
     def predict_depth(self, depth: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """One live frame: (display cloud (n_display, 3) f32, boolean mask)."""
@@ -119,4 +126,10 @@ class LivePredictor:
                 jnp.float32(self.confidence_threshold),
             )
         )
-        return packed[:, :3].astype(np.float32), packed[:, 3] > 0
+        cloud = packed[:, :3].astype(np.float32)
+        if self._warm and not self._model._recall_guard_ran:
+            # session-first REAL frame: probe the capture distribution
+            # (VERDICT r4 #1). If the guard widens the window, the next
+            # frame's _GuardedJit call retraces with the new routing.
+            self._model._maybe_run_recall_guard(cloud)
+        return cloud, packed[:, 3] > 0

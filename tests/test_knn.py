@@ -431,6 +431,154 @@ class TestKnnWindow:
         assert not calls.get("hit")
 
 
+class TestRecallGuard:
+    """Runtime recall guard for the approximate default (VERDICT r4 #1):
+    a session-first-cloud sampled-recall probe that widens the Morton
+    window along ops/knn._WINDOW_LADDER, or demotes the session to the
+    exact path when even the widest rung misses the target — so
+    out-of-distribution geometry cannot silently under-recall."""
+
+    @pytest.fixture(autouse=True)
+    def _reset(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        knn_mod.reset_window_guard()
+        yield
+        knn_mod.reset_window_guard()
+
+    def test_noop_below_window_regime(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(2048, 3).astype(np.float32)
+        before = knn_mod.session_epoch()
+        out = knn_mod.ensure_window_recall(x, 8)
+        assert out["active"] is False
+        assert knn_mod.session_epoch() == before
+        assert not knn_mod.session_exact_fallback()
+
+    def test_widens_to_first_passing_rung(self, monkeypatch):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 1000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 1000)
+        fake = {512: 0.5, 1024: 0.95, 2048: 0.99}
+        monkeypatch.setattr(
+            knn_mod, "_window_recall_probe", lambda x, k, w: fake[w]
+        )
+        rng = np.random.RandomState(1)
+        x = rng.randn(4096, 3).astype(np.float32)
+        before = knn_mod.session_epoch()
+        out = knn_mod.ensure_window_recall(
+            x, 8, target=0.9, ladder=(512, 1024, 2048)
+        )
+        assert out["active"] and out["widened"]
+        assert out["window_points"] == 1024  # first rung clearing 0.9
+        assert out["recall"] == 0.95
+        assert not out["exact_fallback"]
+        assert knn_mod.session_window_points() == 1024
+        assert knn_mod.session_epoch() == before + 1  # traced callers rekey
+
+    def test_exact_fallback_when_ladder_exhausted(self, monkeypatch, caplog):
+        import logging
+
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 1000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 1000)
+        monkeypatch.setattr(
+            knn_mod, "_window_recall_probe", lambda x, k, w: 0.5
+        )
+        rng = np.random.RandomState(2)
+        x = rng.randn(4096, 3).astype(np.float32)
+        with caplog.at_level(logging.WARNING, logger="knn"):
+            out = knn_mod.ensure_window_recall(
+                x, 8, target=0.9, ladder=(512, 1024)
+            )
+        assert out["exact_fallback"]
+        assert knn_mod.session_exact_fallback()
+        assert any("Falling back to EXACT" in r.message for r in caplog.records)
+        # the dispatch now routes "approximate" to the exact path: results
+        # must match knn_naive bit-for-bit in the window regime
+        s = jnp.asarray(rng.rand(1, 4096, 3).astype(np.float32))
+        idx, d2 = knn_mod.knn(s, s, 4, "approximate")
+        ei, ed2 = knn_mod.knn_naive(s, s, 4)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ei))
+        # presorted dispatch too
+        order = morton_order(s)
+        ss = jnp.take_along_axis(s, order[..., None], axis=1)
+        pi, _ = knn_mod.knn_presorted(ss, ss, 4, "approximate")
+        pei, _ = knn_mod.knn_presorted(ss, ss, 4, "naive")
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(pei))
+
+    def test_dispatch_uses_widened_window(self, monkeypatch):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 1000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 1000)
+        monkeypatch.setattr(
+            knn_mod, "_window_recall_probe",
+            lambda x, k, w: 0.95 if w >= 1024 else 0.5,
+        )
+        rng = np.random.RandomState(3)
+        knn_mod.ensure_window_recall(
+            rng.randn(4096, 3).astype(np.float32), 8,
+            target=0.9, ladder=(512, 1024),
+        )
+        seen = {}
+        orig = knn_mod.knn_window
+
+        def spy(*a, **kw):
+            seen["window_points"] = kw.get("window_points")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(knn_mod, "knn_window", spy)
+        s = jnp.asarray(rng.rand(1, 4096, 3).astype(np.float32))
+        knn_mod.knn(s, s, 4, "approximate")
+        assert seen["window_points"] == 1024
+
+    def test_reset_restores_default_and_bumps_epoch(self, monkeypatch):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 1000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 1000)
+        monkeypatch.setattr(
+            knn_mod, "_window_recall_probe", lambda x, k, w: 0.99
+        )
+        rng = np.random.RandomState(4)
+        knn_mod.ensure_window_recall(
+            rng.randn(4096, 3).astype(np.float32), 8,
+            target=0.9, ladder=(512,),
+        )
+        assert knn_mod.session_window_points() == 512
+        ep = knn_mod.session_epoch()
+        knn_mod.reset_window_guard()
+        assert knn_mod.session_window_points() == knn_mod._WINDOW_LADDER[0]
+        assert knn_mod.session_epoch() == ep + 1
+
+    def test_effective_recall_meets_target_on_gaussian(self, monkeypatch):
+        """Integration (real probes, no mocks): a gaussian cloud in the
+        window regime ends with >= target EFFECTIVE recall — via a wider
+        window or the exact fallback, whichever the probes demand. The
+        64k-scale version of this check runs on the TPU
+        (tests/test_tpu_kernels.py::test_recall_guard_gaussian_64k) and
+        its guarded recall is a bench key."""
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        # put a 12k cloud in the window regime cheaply (CPU suite)
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 4000)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 4_000_000)
+        rng = np.random.RandomState(5)
+        x = rng.randn(12288, 3).astype(np.float32)
+        out = knn_mod.ensure_window_recall(
+            x, 16, target=0.9, ladder=(512, 2048)
+        )
+        assert out["active"]
+        xj = jnp.asarray(x[None])
+        effective = knn_mod.measure_recall(xj, xj, 16, "approximate")
+        assert effective >= 0.9, (out, effective)
+
+
 class TestRecallTelemetry:
     """Opt-in runtime recall logging for the approximate default
     (RECOGNIZER3D_KNN_RECALL=1, VERDICT r2 #5)."""

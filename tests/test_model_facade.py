@@ -440,6 +440,141 @@ class TestEvaluateRecallCheck:
         assert "hit" not in called
 
 
+class TestRecallGuardFacade:
+    """Model-level integration of the runtime recall guard (VERDICT r4
+    #1): the session-first-frame trigger in predict/predict_mask/train,
+    the evaluate-path upgrade, the opt-out, and the epoch-keyed retrace
+    of the jitted programs."""
+
+    APPROX = {**TINY, "knn": "approximate"}
+
+    @pytest.fixture(autouse=True)
+    def _reset(self):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        knn_mod.reset_window_guard()
+        yield
+        knn_mod.reset_window_guard()
+
+    def _spy_guard(self, monkeypatch, regime=True):
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        calls = []
+        monkeypatch.setattr(
+            knn_mod, "window_regime_active", lambda n: regime
+        )
+        monkeypatch.setattr(
+            knn_mod,
+            "ensure_window_recall",
+            lambda cloud, k, **kw: calls.append((np.shape(cloud), k)) or {},
+        )
+        return calls
+
+    def test_predict_triggers_guard_once(self, monkeypatch):
+        calls = self._spy_guard(monkeypatch)
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        cloud = np.random.RandomState(0).rand(500, 3).astype(np.float32)
+        model.predict(cloud)
+        model.predict(cloud)
+        assert len(calls) == 1
+        # probed at the model's n_points with xyz columns only
+        assert calls[0] == ((self.APPROX["n_points"], 3), self.APPROX["n_neighbors"])
+
+    def test_predict_mask_triggers_guard(self, monkeypatch):
+        calls = self._spy_guard(monkeypatch)
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        cloud = np.random.RandomState(0).rand(500, 3).astype(np.float32)
+        model.predict_mask(cloud, 0.5)
+        assert len(calls) == 1
+
+    def test_below_regime_no_guard(self, monkeypatch):
+        calls = self._spy_guard(monkeypatch, regime=False)
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        cloud = np.random.RandomState(0).rand(500, 3).astype(np.float32)
+        model.predict(cloud)
+        assert calls == []
+
+    def test_exact_knn_no_guard(self, monkeypatch):
+        calls = self._spy_guard(monkeypatch)
+        model = Model(RandLANetSettings(**TINY), seed=0)
+        cloud = np.random.RandomState(0).rand(500, 3).astype(np.float32)
+        model.predict(cloud)
+        assert calls == []
+
+    def test_opt_out_env(self, monkeypatch):
+        calls = self._spy_guard(monkeypatch)
+        monkeypatch.setenv("RECOGNIZER3D_KNN_RECALL", "0")
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        cloud = np.random.RandomState(0).rand(500, 3).astype(np.float32)
+        model.predict(cloud)
+        assert calls == []
+
+    def test_evaluate_window_regime_runs_acting_guard(
+        self, tiny_dataset, monkeypatch
+    ):
+        calls = self._spy_guard(monkeypatch)
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        model.evaluate(tiny_dataset, class_names=["bg", "fg"], batch_size=3)
+        assert len(calls) == 1
+
+    def test_guarded_jit_retraces_on_epoch_change(self):
+        import jax.numpy as jnp
+
+        import recognizer3d_tpu.ops.knn as knn_mod
+        from recognizer3d_tpu.models.facade import _GuardedJit
+
+        traces = []
+
+        def fn(x):
+            traces.append(1)
+            return x * 2
+
+        g = _GuardedJit(fn)
+        x = jnp.ones((4,))
+        g(x)
+        g(x)
+        assert len(traces) == 1  # cached
+        knn_mod._session_guard["epoch"] += 1  # guard acted
+        try:
+            g(x)
+        finally:
+            knn_mod._session_guard["epoch"] -= 1
+        assert len(traces) == 2  # retraced with the new routing
+
+    def test_widened_window_changes_model_routing_end_to_end(
+        self, monkeypatch
+    ):
+        """Full-stack: the first predict runs the guard (default ladder),
+        the guard widens the session window, and the forward traced right
+        after must actually search with the widened window (spy on
+        knn_window's window_points at trace time)."""
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        # put the tiny model's self-KNNs in the window regime, with a
+        # tiny ladder scaled to the 64-point cloud
+        monkeypatch.setattr(knn_mod, "_WINDOW_MIN_SUPPORT", 16)
+        monkeypatch.setattr(knn_mod, "_NAIVE_MAX_MN", 256)
+        monkeypatch.setattr(knn_mod, "_WINDOW_LADDER", (24, 48))
+        knn_mod.reset_window_guard()  # start at the new ladder's rung 0
+        seen = []
+        orig = knn_mod.knn_window
+        monkeypatch.setattr(
+            knn_mod,
+            "knn_window",
+            lambda *a, **kw: seen.append(kw.get("window_points"))
+            or orig(*a, **kw),
+        )
+        monkeypatch.setattr(
+            knn_mod, "_window_recall_probe",
+            lambda x, k, w: 0.95 if w >= 48 else 0.5,
+        )
+        model = Model(RandLANetSettings(**self.APPROX), seed=0)
+        cloud = np.random.RandomState(0).rand(500, 3).astype(np.float32)
+        model.predict(cloud)  # guard first: probes 24 (0.5) -> installs 48
+        assert knn_mod.session_window_points() == 48
+        assert 48 in seen  # the traced forward used the widened window
+
+
 class TestSortedFlowHook:
     """The RECOGNIZER3D_SORTED_FLOW=0 A/B hook (CLAUDE.md invariant: the
     legacy r3 per-level-unsort flow must stay BIT-IDENTICAL to the default

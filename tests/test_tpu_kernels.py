@@ -117,6 +117,29 @@ class TestCompiledKernels:
             np.asarray(d2), ref_d2, atol=1e-5
         )
 
+    def test_recall_guard_gaussian_64k(self):
+        """VERDICT r4 #1 'done' criterion: a gaussian 64k cloud — the
+        worst case for Morton-window locality (r4 measured 0.8766 sampled
+        recall at the tuned window) — must end the session at >= 0.9
+        EFFECTIVE recall once the runtime guard has acted (widened window
+        or exact fallback)."""
+        _require_tpu()
+        from recognizer3d_tpu.ops import knn as knn_mod
+
+        knn_mod.reset_window_guard()
+        try:
+            rng = np.random.RandomState(0)
+            x = rng.randn(65536, 3).astype(np.float32) * 0.2
+            out = knn_mod.ensure_window_recall(x, 32, target=0.9)
+            assert out["active"], out
+            # effective recall of the post-guard routed dispatch (exact
+            # fallback measures 1.0 by construction)
+            xj = jnp.asarray(x[None])
+            eff = knn_mod.measure_recall(xj, xj, 32, "approximate")
+            assert eff >= 0.9, (out, eff)
+        finally:
+            knn_mod.reset_window_guard()
+
     def test_model_forward_finite(self):
         """A small compiled end-to-end forward returns finite logits."""
         _require_tpu()
