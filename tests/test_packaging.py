@@ -144,9 +144,21 @@ def installed_python(tmp_path_factory):
         capture_output=True, text=True, timeout=60,
     ).stdout.strip()
     (Path(site_dirs) / "parent_env_deps.pth").write_text(parent_site + "\n")
+    # install from a pruned COPY (what an sdist would carry) so the
+    # in-tree build/ + egg-info artifacts never pollute the checkout
+    import shutil
+
+    src = tmp_path_factory.mktemp("pkg") / "src"
+    src.mkdir()
+    shutil.copytree(
+        REPO / "recognizer3d_tpu", src / "recognizer3d_tpu",
+        ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.so.tmp.*"),
+    )
+    for f in ("pyproject.toml", "README.md"):
+        shutil.copy(REPO / f, src / f)
     r = subprocess.run(
         [str(py), "-m", "pip", "install", "--quiet", "--no-index",
-         "--no-build-isolation", "--no-deps", str(REPO)],
+         "--no-build-isolation", "--no-deps", str(src)],
         capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, (
