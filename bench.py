@@ -127,7 +127,42 @@ def _device_time(make_fn, args, iters=10, reps=3):
     return device_time(make_fn, args, iters=iters, reps=reps)
 
 
+def _run_tpu_kernel_suite():
+    """Gate the bench on the compiled-kernel TPU suite (VERDICT r4 #5):
+    run `R3D_TPU_TESTS=1 pytest -m tpu` as a SUBPROCESS before this
+    process touches the chip (one TPU holder at a time), so every
+    BENCH_r*.json implies Mosaic-compiled kernels were green on the same
+    toolchain that produced the perf numbers. Returns (passed, count).
+    Opt out (builder iteration only) with RECOGNIZER3D_BENCH_TPU_TESTS=0.
+    """
+    import os
+    import re
+    import subprocess
+    import sys
+
+    if os.environ.get("RECOGNIZER3D_BENCH_TPU_TESTS", "") == "0":
+        return None, 0
+    env = dict(os.environ)
+    env["R3D_TPU_TESTS"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-m", "tpu", "-q",
+         "--no-header", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, timeout=3600, cwd=str(REPO),
+        env=env,
+    )
+    tail = (r.stdout or "")[-4000:]
+    m = re.search(r"(\d+) passed", tail)
+    count = int(m.group(1)) if m else 0
+    passed = r.returncode == 0 and count > 0
+    if not passed:
+        print(tail[-2000:], flush=True)
+    return passed, count
+
+
 def main():
+    # BEFORE claiming the TPU: the compiled-kernel suite in a subprocess
+    tpu_tests_passed, tpu_tests_count = _run_tpu_kernel_suite()
+
     import jax
     import jax.numpy as jnp
 
@@ -401,6 +436,58 @@ def main():
     train_step_ms = (time.perf_counter() - t) / iters * 1000
 
     # ------------------------------------------------------------------
+    # runtime recall guard evidence (VERDICT r4 #1): on the SAME gaussian
+    # 64k cloud that measures the worst-case pre-guard recall, run the
+    # guard and report the post-guard effective recall + what it chose.
+    # Isolated (reset before/after) so the timing sections above always
+    # measure the tuned default routing.
+    # ------------------------------------------------------------------
+    from recognizer3d_tpu.ops.knn import (
+        ensure_window_recall,
+        reset_window_guard,
+        session_exact_fallback,
+        session_window_points,
+    )
+
+    reset_window_guard()
+    try:
+        guard_out = ensure_window_recall(np.asarray(x64[0]), 32)
+        recall_guarded = (
+            1.0
+            if session_exact_fallback()
+            else measure_recall(x64, x64, 32, "approximate")
+        )
+        guard_window = session_window_points()
+        guard_fallback = session_exact_fallback()
+    finally:
+        reset_window_guard()
+
+    # ------------------------------------------------------------------
+    # machine-checkable floor evidence (VERDICT r4 #6): XLA's own cost
+    # model (bytes accessed / flops) over the measured forward times →
+    # achieved HBM GB/s and effective TFLOP/s, with chip peaks alongside.
+    # Caveat (documented in RESULTS.md): custom-call (pallas) internals
+    # are opaque to the XLA model — bytes cover their operands/results.
+    # ------------------------------------------------------------------
+    def _cost(fn, *args):
+        try:
+            c = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return float(c.get("bytes accessed", 0.0)), float(
+                c.get("flops", 0.0)
+            )
+        except Exception:
+            return 0.0, 0.0
+
+    bytes_exact, flops_exact = _cost(
+        model64._forward_jit.fn, model64.variables, x64, perm64
+    )
+    bytes_approx, flops_approx = _cost(
+        model64a._forward_jit.fn, model64a.variables, x64, perm64
+    )
+
+    # ------------------------------------------------------------------
     # baseline comparison
     # ------------------------------------------------------------------
     # primary = single-cloud throughput at 64k — the CPU baseline was
@@ -457,10 +544,40 @@ def main():
         # on the reference's real captures is 0.9602
         # (benchmarks/real_cloud_validation.json)
         "knn_window_recall_64k_gaussian": round(knn_window_recall_64k, 4),
+        # post-guard effective recall on the same worst-case cloud
+        # (VERDICT r4 #1: the runtime guard must end >= 0.9), plus what
+        # the guard chose to get there
+        "knn_window_recall_64k_gaussian_guarded": round(recall_guarded, 4),
+        "knn_window_guard_probe_recall": round(guard_out["recall"], 4),
+        "knn_window_guard_window_points": int(guard_window),
+        "knn_window_guard_exact_fallback": bool(guard_fallback),
         "batch8_clouds_per_sec_appconfig": batch8_clouds_per_sec,
         "train_step_ms_appconfig_batch4": train_step_ms,
         "baseline_available": baseline_available,
+        # compiled-kernel TPU suite gate (VERDICT r4 #5): green on the
+        # same toolchain/chip as these numbers (None = explicitly opted
+        # out for a builder iteration run)
+        "tpu_kernel_tests_passed": tpu_tests_passed,
+        "tpu_kernel_tests_count": tpu_tests_count,
     }
+    # machine-checkable floor evidence (VERDICT r4 #6): achieved vs peak
+    if bytes_exact:
+        extras["forward_64k_exact_hbm_gbps_xla_model"] = round(
+            bytes_exact / t64 / 1e9, 1
+        )
+        extras["forward_64k_exact_effective_tflops"] = round(
+            flops_exact / t64 / 1e12, 3
+        )
+    if bytes_approx:
+        extras["forward_64k_approx_hbm_gbps_xla_model"] = round(
+            bytes_approx / t64a / 1e9, 1
+        )
+        extras["forward_64k_approx_effective_tflops"] = round(
+            flops_approx / t64a / 1e12, 3
+        )
+    # v5e datasheet peaks (the denominators for the achieved rates above)
+    extras["chip_peak_hbm_gbps"] = 819.0
+    extras["chip_peak_bf16_tflops"] = 197.0
     for name, stats in (
         ("predict", predict_stats),
         ("predict_mask_f16", mask_f16_stats),

@@ -86,6 +86,11 @@ class _GuardedJit:
         self._epoch = None
         self._jit = None
 
+    @property
+    def fn(self):
+        """The wrapped un-jitted function (benchmarks lower/chain it)."""
+        return self._fn
+
     def __call__(self, *args, **kwargs):
         ep = knn_ops.session_epoch()
         if ep != self._epoch:
