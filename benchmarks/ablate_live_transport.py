@@ -22,10 +22,13 @@ Output: one JSON dict with all numbers, for RESULTS.md's decision entry.
 """
 
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 REPO = Path(__file__).resolve().parent.parent
 

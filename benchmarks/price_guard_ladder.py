@@ -11,9 +11,12 @@ Run on the TPU. Output: benchmarks/guard_ladder_pricing.json.
 """
 
 import json
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 REPO = Path(__file__).resolve().parent.parent
 
