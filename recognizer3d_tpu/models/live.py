@@ -62,6 +62,9 @@ class LivePredictor:
         self._model = model
         self.confidence_threshold = confidence_threshold
         self._intr = intrinsics
+        #: bytes of the packed (n_display, 4) f16 per-frame download
+        #: (bench.py's transport-model decomposition)
+        self._n_display_bytes = n_display * 4 * 2
         settings = model.settings
         n_points = settings.n_points
         sample_idx = jnp.asarray(
@@ -111,6 +114,18 @@ class LivePredictor:
         self.predict_depth(dummy)
         self._warm = True
 
+    def _threshold_scalar(self):
+        """Device-resident confidence threshold, re-uploaded only when the
+        value changes: a fresh ``jnp.float32(x)`` per frame is a separate
+        4-byte host→device transfer — measured ~1 ms/frame through the
+        axon relay (benchmarks/live_transport_ablation.json,
+        resident vs jnp_scalar variants)."""
+        val = float(self.confidence_threshold)
+        cached = getattr(self, "_thr_cache", None)
+        if cached is None or cached[0] != val:
+            self._thr_cache = (val, jax.device_put(jnp.float32(val)))
+        return self._thr_cache[1]
+
     def predict_depth(self, depth: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """One live frame: (display cloud (n_display, 3) f32, boolean mask)."""
         key = host_threefry_keys(self._rng)
@@ -123,7 +138,7 @@ class LivePredictor:
                 jnp.asarray(depth, jnp.uint16),
                 key,
                 permutation,
-                jnp.float32(self.confidence_threshold),
+                self._threshold_scalar(),
             )
         )
         cloud = packed[:, :3].astype(np.float32)
