@@ -362,6 +362,13 @@ def knn_window(
             sts = jnp.concatenate(
                 [sts, jnp.broadcast_to(sts[-1:], (pad_blocks,))], 0
             )
+        # NOTE (r5 small-op-tail pass): statically unrolling this lax.map
+        # (8 groups at 64k) to drop the scan's carry copies + output
+        # dynamic-update-slices (~0.7 ms/iter in the r5 trace) was priced
+        # on hardware at NO gain (37.0 vs 36.3-37.0 ms forward, within
+        # run noise) while perturbing the d2 cancellation noise — the
+        # loop plumbing already overlaps with the group bodies. Kept the
+        # scan (RESULTS.md "small-op tail closure").
         idx, d2 = lax.map(
             group_run,
             (
