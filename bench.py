@@ -335,15 +335,26 @@ def main():
     # decomposes as 2 exchanges (upload, dispatch+readback) + bytes/BW +
     # device time — the machine-checkable "residual wall is transport"
     # evidence (RESULTS.md "Live-loop transport model")
+    # min-of-N timing for the BW probe: relay weather drifts over the
+    # bench's ~10 min, and a weather-inflated median here would make the
+    # transport model disagree with the (best-window) wall it predicts.
+    # min approximates the same quiet-relay regime the wall headline uses.
+    def _min_time(fn, iters=12, warmup=2):
+        for _ in range(warmup):
+            fn()
+        return min(
+            (lambda t0: (fn(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(iters)
+        )
+
     buf_s = np.zeros(131072, np.uint8)
     buf_b = np.zeros(1572864, np.uint8)
-    t_buf_s = _median_time(
-        lambda: float(touch(jax.device_put(buf_s))), iters=10, warmup=2
-    )
-    t_buf_b = _median_time(
-        lambda: float(touch(jax.device_put(buf_b))), iters=10, warmup=2
-    )
+    t_buf_s = _min_time(lambda: float(touch(jax.device_put(buf_s))))
+    t_buf_b = _min_time(lambda: float(touch(jax.device_put(buf_b))))
     relay_bw = (buf_b.nbytes - buf_s.nbytes) / max(t_buf_b - t_buf_s, 1e-6)
+    rtt_min_ms = _min_time(rtt_probe) * 1000
 
     # device-resident live loop: raw z16 depth frame -> dewarp -> filter ->
     # subsample -> predict -> mask, one fused program (BASELINE.json's
@@ -554,18 +565,20 @@ def main():
         "live_depth_predict_p50_ms": live_stats["p50_bestwin_ms"],
         "live_depth_predict_p50_ms_raw_p50": live_stats["raw_p50_ms"],
         "live_depth_device_ms": live_device * 1000,
-        # transport decomposition (r5): wall ≈ 2×RTT + bytes/BW + device.
-        # residual ≈ 0 proves the non-device wall is pure relay transport
+        # transport decomposition (r5): wall ≈ 2×RTT + bytes/BW + device,
+        # all components at quiet-relay minima like the wall headline.
+        # |residual| small proves the non-device wall is pure relay
+        # transport (negative = weather drifted between samplings)
         "relay_transport_bandwidth_mbps": relay_bw / 1e6,
         "live_depth_wall_transport_model_ms": (
-            2 * rtt_ms
+            2 * rtt_min_ms
             + (depth.nbytes + live._n_display_bytes) / relay_bw * 1000
             + live_device * 1000
         ),
         "live_depth_wall_transport_residual_ms": (
             live_stats["p50_bestwin_ms"]
             - (
-                2 * rtt_ms
+                2 * rtt_min_ms
                 + (depth.nbytes + live._n_display_bytes) / relay_bw * 1000
                 + live_device * 1000
             )
