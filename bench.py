@@ -568,20 +568,32 @@ def main():
         # transport decomposition (r5): wall ≈ 2×RTT + bytes/BW + device,
         # all components at quiet-relay minima like the wall headline.
         # |residual| small proves the non-device wall is pure relay
-        # transport (negative = weather drifted between samplings)
+        # transport. Only meaningful when the live sampling itself saw
+        # quiet weather (its interleaved RTT near the session minimum) —
+        # during a relay storm the wall inflates while the minima don't,
+        # so the residual is reported null with quiet=false instead.
         "relay_transport_bandwidth_mbps": relay_bw / 1e6,
         "live_depth_wall_transport_model_ms": (
             2 * rtt_min_ms
             + (depth.nbytes + live._n_display_bytes) / relay_bw * 1000
             + live_device * 1000
         ),
+        "live_depth_transport_weather_quiet": (
+            live_stats["rtt_p50_ms"] <= 1.3 * rtt_min_ms
+        ),
         "live_depth_wall_transport_residual_ms": (
-            live_stats["p50_bestwin_ms"]
-            - (
-                2 * rtt_min_ms
-                + (depth.nbytes + live._n_display_bytes) / relay_bw * 1000
-                + live_device * 1000
+            (
+                live_stats["p50_bestwin_ms"]
+                - (
+                    2 * rtt_min_ms
+                    + (depth.nbytes + live._n_display_bytes)
+                    / relay_bw
+                    * 1000
+                    + live_device * 1000
+                )
             )
+            if live_stats["rtt_p50_ms"] <= 1.3 * rtt_min_ms
+            else None
         ),
         # measured on THIS bench's synthetic gaussian cloud — the worst
         # case for Morton locality (isotropic 3D noise). The same metric
