@@ -144,16 +144,22 @@ def _run_tpu_kernel_suite():
         return None, 0
     env = dict(os.environ)
     env["R3D_TPU_TESTS"] = "1"
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-m", "tpu", "-q",
-         "--no-header", "-p", "no:cacheprovider"],
-        capture_output=True, text=True, timeout=3600, cwd=str(REPO),
-        env=env,
-    )
-    tail = (r.stdout or "")[-4000:]
-    m = re.search(r"(\d+) passed", tail)
-    count = int(m.group(1)) if m else 0
-    passed = r.returncode == 0 and count > 0
+    for attempt in range(2):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-m", "tpu", "-q",
+             "--no-header", "-p", "no:cacheprovider"],
+            capture_output=True, text=True, timeout=3600, cwd=str(REPO),
+            env=env,
+        )
+        tail = (r.stdout or "")[-4000:] + (r.stderr or "")[-1000:]
+        m = re.search(r"(\d+) passed", tail)
+        count = int(m.group(1)) if m else 0
+        passed = r.returncode == 0 and count > 0
+        if passed or not (
+            "remote_compile" in tail or "INTERNAL" in tail
+        ):
+            break
+        # transient relay-compile flake — retry once on warm caches
     if not passed:
         print(tail[-2000:], flush=True)
     return passed, count

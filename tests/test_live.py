@@ -163,3 +163,30 @@ class TestLivePredictor:
         depth = np.full((48, 64), 5000, np.uint16)  # 5 m: outside z band
         pts, mask = live.predict_depth(depth)
         assert not mask.any()
+
+    def test_recall_guard_triggers_on_first_real_frame(self, monkeypatch):
+        """The warmup dummy frame must NOT feed the recall guard; the
+        first REAL frame must, exactly once (VERDICT r4 #1, live path)."""
+        import recognizer3d_tpu.ops.knn as knn_mod
+
+        knn_mod.reset_window_guard()
+        calls = []
+        monkeypatch.setattr(knn_mod, "window_regime_active", lambda n: True)
+        monkeypatch.setattr(
+            knn_mod,
+            "ensure_window_recall",
+            lambda cloud, k, **kw: calls.append(np.shape(cloud)) or {},
+        )
+        model = Model(
+            RandLANetSettings(**{**TINY, "knn": "approximate"}), seed=0
+        )
+        intr = DepthIntrinsics(width=64, height=48, fx=50.0, fy=50.0,
+                               cx=32.0, cy=24.0, depth_scale=0.001)
+        live = LivePredictor(model, n_display=512, intrinsics=intr)
+        assert calls == []  # warmup (all-zero frame) did not probe
+        depth = np.full((48, 64), 300, np.uint16)
+        live.predict_depth(depth)
+        assert len(calls) == 1  # first real frame probed...
+        assert calls[0] == (model.settings.n_points, 3)
+        live.predict_depth(depth)
+        assert len(calls) == 1  # ...and only once per session
