@@ -330,7 +330,9 @@ def _forward_one(
     feats = jax.nn.leaky_relu(feats, negative_slope=0.2)
 
     xyz = xyz[permutation]
-    feats = feats[permutation]
+    # feats stay in ORIGINAL order here: the sorted flow composes
+    # permutation ∘ order_0 into the single entry gather below (the
+    # standalone 1M-row permutation gather costs ~37 ns/row)
 
     level_sizes = [n]
     ratio = 1
@@ -346,10 +348,21 @@ def _forward_one(
         invs.append(invert_permutation(order[None])[0])
         xyz_levels.append(x_level[order])
 
-    skip_stack = []
-    feats_sampled = feats
-    for i, n_out in enumerate(settings.layer_sizes):
-        sorted_feats = feats_sampled[orders[i]]
+    # sorted-domain flow (r5, ported from the in-model r4 design —
+    # randlanet.py "sorted_flow"): features live in each level's Morton
+    # order END TO END; every level transition is ONE composed gather
+    # (inv_prev ∘ order_next subsumes the exit unsort, the decimation
+    # prefix and the next entry sort), and only the final head gather
+    # returns to the original order. At 1M the per-level unsorts this
+    # removes are full-table permutation gathers at the ~37 ns/row
+    # random rate (the L0 exit unsort alone traced 39 ms).
+    # RECOGNIZER3D_SORTED_FLOW=0 restores the r3-style per-level sorts
+    # (bit-identical — the same A/B invariant as the module path).
+    import os
+
+    sorted_flow = os.environ.get("RECOGNIZER3D_SORTED_FLOW", "1") != "0"
+
+    def run_level(i, n_out, sorted_feats):
         if _fused_level_available(
             settings.n_neighbors, level_sizes[i], n_out // 2
         ):
@@ -357,7 +370,7 @@ def _forward_one(
             # (r5) — see _lfa_fused_level. Covers the first two encoder
             # levels of the app architecture (half = 8 / 32), whose
             # footprint-priced gathers carried ~45% of the 1M forward.
-            out = _lfa_fused_level(
+            return _lfa_fused_level(
                 p[f"encoder_{i}"],
                 s[f"encoder_{i}"],
                 xyz_levels[i],
@@ -366,19 +379,32 @@ def _forward_one(
                 settings.knn,
                 min(chunk, level_sizes[i]),
             )
-        else:
-            out = _lfa_chunked(
-                p[f"encoder_{i}"],
-                s[f"encoder_{i}"],
-                xyz_levels[i],
-                sorted_feats,
-                settings.n_neighbors,
-                settings.knn,
-                min(chunk, level_sizes[i]),
-            )
-        feats_lvl = out[invs[i]]
-        skip_stack.append(feats_lvl)
-        feats_sampled = feats_lvl[: level_sizes[i + 1]]
+        return _lfa_chunked(
+            p[f"encoder_{i}"],
+            s[f"encoder_{i}"],
+            xyz_levels[i],
+            sorted_feats,
+            settings.n_neighbors,
+            settings.knn,
+            min(chunk, level_sizes[i]),
+        )
+
+    skip_stack = []
+    if sorted_flow:
+        feats_sampled = feats[permutation[orders[0]]]  # one entry gather
+        for i, n_out in enumerate(settings.layer_sizes):
+            out = run_level(i, n_out, feats_sampled)
+            skip_stack.append(out)  # SORTED-i order
+            # sorted_i -> sorted_{i+1}: the decimation prefix's rows
+            # gathered straight out of the sorted-i array
+            feats_sampled = out[invs[i][orders[i + 1]]]
+    else:
+        feats_sampled = feats[permutation]
+        for i, n_out in enumerate(settings.layer_sizes):
+            out = run_level(i, n_out, feats_sampled[orders[i]])
+            feats_lvl = out[invs[i]]
+            skip_stack.append(feats_lvl)
+            feats_sampled = feats_lvl[: level_sizes[i + 1]]
 
     feats_mid = shared_mlp(p["mlp"], s["mlp"], feats_sampled, "relu")
 
@@ -393,8 +419,14 @@ def _forward_one(
             1,
             settings.knn,
         )
-        up = feats_dec[orders[level]][nb1[0, :, 0]]
-        up = up[invs[level - 1]]
+        if sorted_flow:
+            # feats_dec is sorted-level; the presorted 1-NN emits the
+            # fine level's sorted order directly — exactly what the
+            # skip concat and the next iteration consume
+            up = feats_dec[nb1[0, :, 0]]
+        else:
+            up = feats_dec[orders[level]][nb1[0, :, 0]]
+            up = up[invs[level - 1]]
         feats_dec = jnp.concatenate(
             [up, skip_stack.pop()], axis=-1
         )
@@ -402,7 +434,13 @@ def _forward_one(
             p[f"decoder_{i}"], s[f"decoder_{i}"], feats_dec, "relu"
         )
 
-    feats_dec = feats_dec[invert_permutation(permutation[None])[0]]
+    if sorted_flow:
+        # inv_0 ∘ inverse-permutation in one gather
+        feats_dec = feats_dec[
+            invs[0][invert_permutation(permutation[None])[0]]
+        ]
+    else:
+        feats_dec = feats_dec[invert_permutation(permutation[None])[0]]
 
     feats_dec = shared_mlp(p["fc_end_0"], s["fc_end_0"], feats_dec, "relu")
     feats_dec = shared_mlp(p["fc_end_1"], s["fc_end_1"], feats_dec, "relu")

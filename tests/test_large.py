@@ -241,3 +241,19 @@ class TestSlicedGathers:
         np.testing.assert_array_equal(
             np.asarray(sliced), np.asarray(flat)
         )
+
+
+def test_large_sorted_flow_hook_bit_identical(small_setup, monkeypatch):
+    """RECOGNIZER3D_SORTED_FLOW=0 must restore the r3-style per-level
+    sorts in the large path too, bit-identically (the same invariant the
+    module path pins in test_model_facade.py::TestSortedFlowHook)."""
+    settings, _module, variables, inputs, perm = small_setup
+    monkeypatch.setenv("RECOGNIZER3D_SORTED_FLOW", "1")
+    a = np.asarray(
+        forward_eval_large(variables, settings, inputs, perm, chunk=64)
+    )
+    monkeypatch.setenv("RECOGNIZER3D_SORTED_FLOW", "0")
+    b = np.asarray(
+        forward_eval_large(variables, settings, inputs, perm, chunk=64)
+    )
+    np.testing.assert_array_equal(a, b)
